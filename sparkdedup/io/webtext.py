@@ -1,0 +1,144 @@
+"""Deterministic synthetic Common-Crawl-style webtext corpus (FIXTURES.md §1).
+
+Mirrors the *structure* of the reference's labeled demo set
+(/root/reference/app/demo_data/paper_verses.csv: 575 short texts, 31
+ground-truth groups, heavy-tailed sizes): groups of edit-noise clones of a
+seed sentence, plus edge-case rows (empty / whitespace / shorter-than-k /
+exact duplicates / hot boilerplate group / combining-mark unicode).
+
+Schema matches BASELINE.json input_hint:
+    url string, warc_ts timestamp, html binary, text string, lang string
+plus ground-truth `group_id` (side information for quality metrics only —
+the pipeline never reads it).  `html` wraps `text` so extract_text(html)
+round-trips byte-identically (the per-row invariant).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+
+_VOCAB_SYLLABLES = [
+    "ka", "ro", "mi", "ten", "sol", "var", "lum", "qe", "dor", "an",
+    "tha", "bel", "cru", "ves", "ol", "zim", "pra", "ne", "gos", "ful",
+]
+_LANGS = ["en", "de", "el", "es", "fr"]
+_DIACRITIC_SWAP = {"e": "é", "a": "à", "o": "ö", "u": "ü", "i": "ï"}
+_PUNCT = list(".,;:!?-'\"()")  # never <, >, & : keeps html round-trip exact
+
+
+def _vocab(rng: random.Random, n: int = 400) -> list[str]:
+    words = set()
+    while len(words) < n:
+        w = "".join(rng.choice(_VOCAB_SYLLABLES) for _ in range(rng.randint(2, 4)))
+        words.add(w)
+    return sorted(words)
+
+
+def _noise(rng: random.Random, text: str, n_edits: int) -> str:
+    chars = list(text)
+    for _ in range(n_edits):
+        if not chars:
+            break
+        op = rng.randint(0, 4)
+        pos = rng.randrange(len(chars))
+        if op == 0:  # substitution
+            chars[pos] = rng.choice("abcdefghijklmnopqrstuvwxyz")
+        elif op == 1:  # deletion
+            del chars[pos]
+        elif op == 2:  # insertion
+            chars.insert(pos, rng.choice("abcdefghijklmnopqrstuvwxyz "))
+        elif op == 3:  # case flip
+            chars[pos] = chars[pos].swapcase()
+        else:  # diacritic swap or punctuation injection
+            c = chars[pos].lower()
+            if c in _DIACRITIC_SWAP:
+                chars[pos] = _DIACRITIC_SWAP[c]
+            else:
+                chars.insert(pos, rng.choice(_PUNCT))
+    return "".join(chars)
+
+
+def _group_sizes(n_rows: int, rng: random.Random) -> list[int]:
+    """Heavy-tailed sizes summing to ~n_rows (one dominant group, then a
+    zipf-ish tail down to singletons)."""
+    sizes = []
+    remaining = n_rows
+    head = [0.18, 0.09, 0.06, 0.045, 0.03, 0.025, 0.02, 0.015]
+    for frac in head:
+        s = max(2, int(n_rows * frac))
+        if s > remaining - 1:
+            break
+        sizes.append(s)
+        remaining -= s
+    k = 2
+    while remaining > 0:
+        s = min(remaining, max(1, int(rng.paretovariate(1.2))))
+        sizes.append(s)
+        remaining -= s
+        k += 1
+    return sizes
+
+
+def generate_webtext(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    rng = random.Random(seed)
+    vocab = _vocab(rng)
+    rows: list[dict] = []
+    group_id = 0
+
+    def emit(text: str, gid: int):
+        i = len(rows)
+        url = f"https://site{i % 200}.example/p/{i}"
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=37 * i)
+        html = b"<html><body><p>" + text.encode("utf-8") + b"</p></body></html>"
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": html,
+                "text": text,
+                "lang": _LANGS[gid % len(_LANGS)],
+                "group_id": gid,
+            }
+        )
+
+    # fixed edge-case rows first (stable doc_ids for debugging)
+    edge_cases = [
+        "",  # empty -> 'empty_document' token
+        "   ",  # whitespace-only
+        "ab",  # shorter than any shingle_size >= 3
+        "ab",  # exact duplicate of the short one
+        "ᾤκησεν ἐν τῇ πόλει",  # combining-mark unicode (NFD/Mn parity)
+        "résumé naïve café über",
+    ]
+    for t in edge_cases:
+        emit(t, group_id)
+        group_id += 1
+
+    budget = n_rows - len(rows)
+    for size in _group_sizes(budget, rng):
+        n_words = rng.randint(5, 11)
+        seed_sentence = " ".join(rng.choice(vocab) for _ in range(n_words))
+        for j in range(size):
+            if j == 0:
+                emit(seed_sentence, group_id)
+            elif j == 1 and size >= 4:
+                emit(seed_sentence, group_id)  # exact duplicate inside group
+            else:
+                emit(_noise(rng, seed_sentence, rng.randint(1, 3)), group_id)
+        group_id += 1
+        if len(rows) >= n_rows:
+            break
+
+    return pd.DataFrame(rows[:n_rows])
+
+
+def webtext_spark_df(spark, n_rows: int, seed: int = 42, with_doc_id: bool = True):
+    """Spark DataFrame over the synthetic corpus; doc_id = input row order
+    (the reference's dense id assignment, cluster_in_mem.py:86)."""
+    pdf = generate_webtext(n_rows, seed)
+    if with_doc_id:
+        pdf = pdf.reset_index().rename(columns={"index": "doc_id"})
+    return spark.createDataFrame(pdf)

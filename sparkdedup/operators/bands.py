@@ -1,0 +1,41 @@
+"""LSH banding as pure Spark SQL (SURVEY.md §2.4 L1).
+
+The reference's ``MinHashLSH.insert`` hashes each band (r consecutive
+signature values) into an in-memory dict; at scale "the index IS the
+shuffle": we explode each signature into (band_key, doc_id) rows and let
+the subsequent groupBy/self-join shuffle co-locate docs sharing a band.
+
+Band identity: datasketch buckets on the exact r signature values of band
+i (hashranges [i*r, (i+1)*r)).  We key on xxhash64(band_idx, values...);
+a 64-bit collision can only ADD a candidate pair, which Jaccard
+verification then screens — recall is unaffected, so the compact 8-byte
+shuffle key is the right scale tradeoff vs shuffling r*8-byte arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def band_keys_col(sig_col: str, bands: int, rows: int) -> Column:
+    """array<long> of one 64-bit key per band.
+
+    Only the first bands*rows signature positions participate (datasketch
+    uses hashranges i*r..(i+1)*r; positions beyond b*r are used for the
+    Jaccard estimate but not banding).
+    """
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"i -> xxhash64(i, slice({sig_col}, i * {rows} + 1, {rows})))"
+    )
+
+
+def explode_bands(
+    df: DataFrame, bands: int, rows: int, id_col: str = "doc_id", sig_col: str = "sig"
+) -> DataFrame:
+    """(doc_id, sig) -> (band_key long, doc_id long), one row per band."""
+    return df.select(
+        F.explode(band_keys_col(sig_col, bands, rows)).alias("band_key"),
+        F.col(id_col).alias("doc_id"),
+    )

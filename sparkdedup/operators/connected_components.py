@@ -1,0 +1,116 @@
+"""Connected components via alternating large-star / small-star rounds
+(Kiveris et al., "Connected Components in MapReduce and Beyond", 2014 —
+public algorithm), replacing the reference's in-core union-find
+(union_find.py:3-23; SURVEY.md §2.8 C1).
+
+Each round is two shuffles (groupBy min + join); convergence in
+O(log n) rounds.  Lineage is cut with ``localCheckpoint`` every round so
+the iterative plan doesn't snowball (SURVEY.md §4 iterative row).  On a
+real cluster the per-round materialization would go to a checkpoint table
+instead (see sparkdedup/checkpoint.py).
+
+Output labels each node with its component's MINIMUM doc_id — which is
+exactly the canonical form needed to reproduce the reference's dense
+relabeling (union_find.py:25-33 assigns dense ids in first-seen doc order;
+first occurrence of a component while scanning doc_id 0..n-1 is its min
+doc_id, so ranking components by min doc_id reproduces the reference ids
+bit-for-bit; SURVEY.md §2.8 C2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 50
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # neighborhoods over both directions
+    nbrs = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("src", "mn").alias("m"))
+    # connect every strictly-larger neighbor to the neighborhood min
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient each edge large -> small
+    o = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = o.join(mins, "src")
+    out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).unionAll(
+        mins.select("src", F.col("m").alias("dst"))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, overflow-free (ANSI-safe) set fingerprint;
+    # edges are distinct so xor cancellation of duplicates cannot occur
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """edges(src, dst) -> star edges (doc_id, root) where root is the
+    component min; component-min nodes themselves are NOT included (they
+    have no outgoing star edge)."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    prev = _fingerprint(e)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
+    # fixed point of small-star is a star graph: src -> component min
+    return e.select(F.col("src").alias("doc_id"), F.col("dst").alias("root"))
+
+
+def assignments_from_components(
+    docs: DataFrame, star: DataFrame, id_col: str = "doc_id", dense: bool = True
+) -> DataFrame:
+    """Attach cluster labels to every doc (singletons label themselves).
+
+    dense=True reproduces the reference's dense first-seen ids via a rank
+    over distinct roots (fine at test scale; at 10^12 docs run with
+    dense=False and use the stable min-doc-id root as the cluster id —
+    the dense rank needs a global sort of one row per cluster).
+    """
+    labeled = docs.select(F.col(id_col).alias("doc_id")).join(
+        star, "doc_id", "left"
+    ).select("doc_id", F.coalesce("root", "doc_id").alias("root"))
+    if not dense:
+        return labeled.withColumnRenamed("root", "cluster_id")
+    roots = labeled.select("root").distinct()
+    dense_ids = roots.select(
+        "root",
+        (F.dense_rank().over(Window.orderBy("root")) - 1).alias("cluster_id"),
+    )
+    return labeled.join(dense_ids, "root").select("doc_id", "cluster_id")
+
+
+def dense_relabel(labeled: DataFrame) -> DataFrame:
+    """(doc_id, root) -> (doc_id, cluster_id) with reference-parity dense ids."""
+    roots = labeled.select("root").distinct()
+    dense_ids = roots.select(
+        "root", (F.dense_rank().over(Window.orderBy("root")) - 1).alias("cluster_id")
+    )
+    return labeled.join(dense_ids, "root").select("doc_id", "cluster_id")

@@ -1,0 +1,96 @@
+"""Candidate-pair generation with explicit skew handling (SURVEY.md §2.4
+L2-L4, §4 skew row; north_rule: "partitioning / shuffle / skew handled
+explicitly").
+
+Semantics: all (src < dst) document pairs sharing >= 1 LSH band — the
+uncapped equivalent of the reference's LSH query loops
+(cluster_in_mem.py:170-234, cluster_streaming.py:123-159); ``src < dst`` +
+``distinct()`` replace its ``processed_pairs`` set and ordering guards.
+
+Scale shape: a plain band self-join degrades quadratically on hot bands
+(common boilerplate at web scale — the reference has no defense beyond its
+recall-losing candidate caps).  We split by measured band size:
+
+  * cold bands (size <= salt_threshold): direct self-equi-join; AQE skew
+    join can still split stragglers.
+  * hot bands: balanced triangle replication — each member lands in a salt
+    cell c = xxhash64(doc_id) mod S with S = ceil(size / salt_threshold),
+    is replicated to every cell-pair (min(c,d), max(c,d)), and a pair is
+    emitted only in the unique bucket (min(c_x,c_y), max(c_x,c_y)).  Every
+    join bucket holds <= ~2*salt_threshold rows regardless of band size;
+    pair coverage is exact (no recall loss), cost is an S-fold replication
+    of hot-band rows only.
+  * optional drop_threshold: bands larger still are dropped outright and
+    counted (the only recall-losing knob; OFF by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pairs_from_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    l = left.select(*on, F.col("doc_id").alias("src"))
+    r = right.select(*on, F.col("doc_id").alias("dst"))
+    return l.join(r, on).where(F.col("src") < F.col("dst"))
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    salt_threshold: int | None = 2000,
+    drop_threshold: int | None = None,
+) -> DataFrame:
+    """(band_key, doc_id) -> distinct (src long, dst long), src < dst."""
+    if salt_threshold is None and drop_threshold is None:
+        return _pairs_from_join(bands, bands, ["band_key"]).select("src", "dst").distinct()
+
+    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("band_size"))
+    limit = salt_threshold if salt_threshold is not None else drop_threshold
+    # hot-band table is tiny (few keys exceed the threshold) -> broadcast
+    hot_keys = sizes.where(F.col("band_size") > F.lit(limit))
+    b = bands.join(F.broadcast(hot_keys), "band_key", "left")
+
+    cold = b.where(F.col("band_size").isNull())
+    cold_pairs = _pairs_from_join(cold, cold, ["band_key"])
+
+    hot = b.where(F.col("band_size").isNotNull())
+    if drop_threshold is not None:
+        hot = hot.where(F.col("band_size") <= F.lit(drop_threshold))
+    if salt_threshold is None:
+        # drop-only mode: remaining "hot" rows (none) contribute nothing
+        return cold_pairs.select("src", "dst").distinct()
+
+    s_cells = F.ceil(F.col("band_size") / F.lit(salt_threshold)).cast("int")
+    hot = hot.withColumn("n_cells", s_cells).withColumn(
+        "cell", F.pmod(F.xxhash64("doc_id"), F.col("n_cells")).cast("int")
+    )
+    # replicate each member to every cell-pair bucket it can meet a partner in
+    repl = hot.select(
+        "band_key",
+        "doc_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.col("n_cells") - 1)).alias("other"),
+    ).select(
+        "band_key",
+        "doc_id",
+        "cell",
+        F.least("cell", "other").alias("ci"),
+        F.greatest("cell", "other").alias("cj"),
+    ).distinct()
+    j = (
+        repl.select("band_key", "ci", "cj", F.col("doc_id").alias("src"), F.col("cell").alias("src_cell"))
+        .join(
+            repl.select("band_key", "ci", "cj", F.col("doc_id").alias("dst"), F.col("cell").alias("dst_cell")),
+            ["band_key", "ci", "cj"],
+        )
+        .where(F.col("src") < F.col("dst"))
+        # emit each pair only in its unique home bucket
+        .where(
+            (F.col("ci") == F.least("src_cell", "dst_cell"))
+            & (F.col("cj") == F.greatest("src_cell", "dst_cell"))
+        )
+    )
+    return cold_pairs.select("src", "dst").unionByName(
+        j.select("src", "dst")
+    ).distinct()

@@ -1,0 +1,46 @@
+"""Jaccard verification of candidate pairs (SURVEY.md §2.3 S5, §2.4 L5).
+
+The reference verifies with the SIGNATURE-estimate Jaccard — the fraction
+of equal signature positions over all num_perm values
+(cluster_in_mem.py:196 via datasketch ``MinHash.jaccard``) — not exact
+shingle-set Jaccard.  Matching that estimate exactly is required for
+edge-set parity, so we compute it JVM-side with ``zip_with`` + ``size`` +
+``filter`` (whole-stage-codegen-friendly, no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def jaccard_expr(sig_a: str, sig_b: str, num_perm: int) -> Column:
+    """fraction of equal positions — float division by num_perm."""
+    return (
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_perm))
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    threshold: float,
+    num_perm: int,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(src, dst) x (doc_id, sig) -> edges (src, dst, sim) with sim >= t.
+
+    Two equi-joins attach signatures to both endpoints; Catalyst prunes to
+    (doc_id, sig) and AQE picks broadcast vs sort-merge by size.
+    """
+    s1 = signatures.select(F.col(id_col).alias("src"), F.col(sig_col).alias("_sig_src"))
+    s2 = signatures.select(F.col(id_col).alias("dst"), F.col(sig_col).alias("_sig_dst"))
+    return (
+        pairs.join(s1, "src")
+        .join(s2, "dst")
+        .withColumn("sim", jaccard_expr("_sig_src", "_sig_dst", num_perm))
+        .where(F.col("sim") >= F.lit(threshold))
+        .select("src", "dst", "sim")
+    )

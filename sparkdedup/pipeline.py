@@ -1,0 +1,150 @@
+"""The end-to-end dedup pipeline (SURVEY.md §7 stage DAG).
+
+    ingest -> normalize -> [exact-dup pre-pass] -> signatures -> bands ->
+    pairs -> verify -> connected components -> relabel -> certainty
+
+Each stage is a pure DataFrame -> DataFrame function; with a
+CheckpointManager every stage materializes to a checkpoint table and a
+re-run resumes from the last committed stage (north_rule resumability).
+
+Parity contract: with ``exact_dedup_prepass=False`` the emitted edge set
+and cluster assignments are identical to the reference algorithm's
+uncapped run at the same (threshold, shingle_size, num_perm=64, seed=42)
+config — verified against tests/oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkdedup.checkpoint import CheckpointManager
+from sparkdedup.config import DedupConfig
+from sparkdedup.functions.preprocess import preprocess_udf
+from sparkdedup.functions.signatures import minhash_udf
+from sparkdedup.operators.bands import explode_bands
+from sparkdedup.operators.certainty import with_certainty
+from sparkdedup.operators.connected_components import (
+    assignments_from_components,
+    connected_components,
+)
+from sparkdedup.operators.pairs import candidate_pairs
+from sparkdedup.operators.verify import verify_pairs
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: DedupConfig | None = None,
+        checkpoint_dir: str | None = None,
+        dense_labels: bool = True,
+    ):
+        self.spark = spark
+        self.config = config or DedupConfig()
+        self.ckpt = CheckpointManager(spark, checkpoint_dir)
+        self.dense_labels = dense_labels
+
+    # --- individual stages (public, composable) ---
+
+    def normalize(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """P1 projection + null filter + S1 preprocess."""
+        udf = preprocess_udf(self.config.preprocess_options())
+        return (
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+            .where(F.col("text").isNotNull())
+            .withColumn("clean", udf(F.col("text").cast("string")))
+        )
+
+    def signatures(self, clean: DataFrame) -> DataFrame:
+        c = self.config
+        mh = minhash_udf(c.shingle_size, c.num_perm, c.seed)
+        return clean.select("doc_id", mh(F.col("clean")).alias("sig"))
+
+    def edges(self, sigs: DataFrame) -> DataFrame:
+        c = self.config
+        b, r = c.bands_rows()
+        bands = explode_bands(sigs, b, r)
+        pairs = candidate_pairs(
+            bands,
+            salt_threshold=c.band_salt_threshold,
+            drop_threshold=c.band_drop_threshold,
+        )
+        return verify_pairs(pairs, sigs, c.threshold, c.num_perm)
+
+    def cluster(self, docs_ids: DataFrame, edges: DataFrame) -> DataFrame:
+        star = connected_components(edges)
+        return assignments_from_components(docs_ids, star, dense=self.dense_labels)
+
+    # --- end-to-end ---
+
+    def run(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> dict[str, DataFrame]:
+        """Returns {'clean', 'signatures', 'edges', 'assignments'} —
+        assignments has (doc_id, cluster_id, certainty)."""
+        c = self.config
+        clean = self.ckpt.stage("01_normalize", lambda: self.normalize(docs, text_col, id_col))
+
+        if c.exact_dedup_prepass:
+            groups = self.ckpt.stage(
+                "02_exact_groups",
+                lambda: clean.select("doc_id", F.md5("clean").alias("_h"))
+                .groupBy("_h")
+                .agg(F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("members"))
+                .select("rep", F.explode("members").alias("doc_id")),
+            )
+            reps = clean.join(
+                groups.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+                "doc_id",
+            )
+        else:
+            groups = None
+            reps = clean
+
+        sigs = self.ckpt.stage("03_signatures", lambda: self.signatures(reps))
+        edges = self.ckpt.stage("06_edges", lambda: self.edges(sigs))
+
+        if groups is not None:
+            # expand rep-level edges back to all members; dup->rep edges at sim 1.0
+            dup_edges = (
+                groups.where(F.col("doc_id") != F.col("rep"))
+                .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+                .withColumn("sim", F.lit(1.0))
+            )
+            all_edges = edges.unionByName(dup_edges)
+        else:
+            all_edges = edges
+
+        doc_ids = clean.select("doc_id")
+        assignments = self.ckpt.stage(
+            "08_assignments", lambda: self.cluster(doc_ids, all_edges)
+        )
+        final = self.ckpt.stage(
+            "09_final", lambda: with_certainty(assignments, all_edges)
+        )
+        return {
+            "clean": clean,
+            "signatures": sigs,
+            "edges": all_edges,
+            "assignments": final,
+        }
+
+
+def build_spark(
+    app: str = "sparkdedup", master: str | None = None, shuffle_partitions: int = 32
+) -> SparkSession:
+    """Session tuned for the sandbox; on a real cluster these come from
+    spark-submit conf."""
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", "8g")
+    )
+    if master:
+        b = b.master(master)
+    return b.getOrCreate()
