@@ -1,38 +1,529 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dedup slice; ``queries()`` exposes the
+SURVEY.md §2 operator inventory plus the training-data-pipeline extensions
+(dedup family, similarity search, text analysis); ``oracle_sql()`` gives
+DuckDB-equivalent SQL for every SQL-expressible query (MinHash/SimHash/
+pipeline queries are rows-only by design — see SURVEY.md §5).
+
+Column-name + value-hash discipline: every computed column is aliased
+identically on both sides; float aggregates are either computed over exact
+decimal sums or rounded on both sides to absorb summation-order ulps.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkdedup.config import DedupConfig  # noqa: E402
+from sparkdedup.pipeline import DedupPipeline  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Minimum dedup slice on sf0.001 documents: preprocess -> minhash ->
+    bands -> pairs -> verify -> connected components -> assignments."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pipe = DedupPipeline(spark, DedupConfig(threshold=0.3, shingle_size=6))
+    return pipe.run(docs, text_col="text", id_col="doc_id")["assignments"]
+
+
+# ------------------------------------------------------------- dedup family
+
+
+def _dedup_assignments(spark, sf_dir) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pipe = DedupPipeline(spark, DedupConfig(threshold=0.3, shingle_size=6))
+    return pipe.run(docs)["assignments"].select(
+        "doc_id", "cluster_id", F.round("certainty", 6).alias("certainty")
+    )
+
+
+def _dedup_edges(spark, sf_dir) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pipe = DedupPipeline(spark, DedupConfig(threshold=0.3, shingle_size=6))
+    return pipe.run(docs)["edges"].select(
+        "src", "dst", F.round("sim", 6).alias("sim")
+    )
+
+
+def _dedup_exact(spark, sf_dir) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("rep"))
+    )
+
+
+def _dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """Exact 3-gram Jaccard over all (i<j) pairs of the first 40 docs —
+    the brute-force oracle the LSH path approximates."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("grams"),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("src"), F.col("grams").alias("g1"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("grams").alias("g2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.size(F.array_intersect("g1", "g2"))
+                / F.size(F.array_union("g1", "g2")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _dedup_simhash_candidates(spark, sf_dir) -> DataFrame:
+    """SimHash near-dup pass: 4x16-bit bands, pairs sharing a band, exact
+    Hamming distance via bit_count(xor)."""
+    from sparkdedup.functions.signatures import simhash_udf
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", simhash_udf(6)(F.col("text")).alias("sh")
+    )
+    bands = d.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " i -> struct(i as band_idx,"
+                " shiftright(sh, i * 16) & 65535 as band_val))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", "b.band_idx", "b.band_val")
+    l = bands.select("band_idx", "band_val", F.col("doc_id").alias("src"), F.col("sh").alias("sh1"))
+    r = bands.select("band_idx", "band_val", F.col("doc_id").alias("dst"), F.col("sh").alias("sh2"))
+    return (
+        l.join(r, ["band_idx", "band_val"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= 16)
+    )
+
+
+# -------------------------------------------------------- similarity search
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nb = F.expr(
+        f"aggregate(transform({b}, x -> cast(x as double) * cast(x as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def _sim_cosine_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id 0 (ANN baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cosine_expr("embedding", "qv"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _sim_lsh_ann(spark, sf_dir) -> DataFrame:
+    """LSH-bucketed ANN (scale path): sign-of-sum-of-chunks random-
+    hyperplane-style bucket, exact cosine within bucket vs vec_id 0's
+    bucket.  Deterministic, rows-only check."""
+    e = _t(spark, sf_dir, "embeddings")
+    # cheap deterministic bucket: sign pattern of 8 coordinate-chunk sums
+    bucket = F.expr(
+        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc * 2 + "
+        "if(aggregate(slice(embedding, i * 8 + 1, 8), cast(0.0 as double),"
+        " (a, v) -> a + cast(v as double)) > 0, 1L, 0L))"
+    )
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.where(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
+    )
+    return (
+        b.crossJoin(F.broadcast(q))
+        .where((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round(_cosine_expr("embedding", "qv"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+
+def _text_lang_id(spark, sf_dir) -> DataFrame:
+    """Heuristic n-gram language ID as a pandas UDF (rows-only check)."""
+    from sparkdedup.functions.textstats import lang_id_udf
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id_udf(F.col("text")).alias("lang_pred")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, fn: Callable, sql: str | None = None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# --- projections / filters (SURVEY §2.2) ---
+_q(
+    "p1_p3_clean_projection",
+    lambda s, d: _t(s, d, "documents")
+    .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    .select("doc_id", F.trim("text").alias("text_trim")),
+    "SELECT doc_id, trim(text) AS text_trim FROM documents "
+    "WHERE text IS NOT NULL AND length(trim(text)) > 0",
+)
+_q(
+    "p4_regex_filter",
+    lambda s, d: _t(s, d, "documents")
+    .where(~F.col("text").rlike("join|merge"))
+    .select("doc_id", "lang"),
+    "SELECT doc_id, lang FROM documents WHERE NOT regexp_matches(text, 'join|merge')",
+)
+_q(
+    "p6_membership_filter",
+    lambda s, d: _t(s, d, "documents")
+    .where(F.col("lang").isin("en", "de", "es"))
+    .select("doc_id", "lang"),
+    "SELECT doc_id, lang FROM documents WHERE lang IN ('en', 'de', 'es')",
+)
+_q(
+    "p7_threshold_filter",
+    lambda s, d: _t(s, d, "events")
+    .where(F.col("value") >= 250.0)
+    .select("event_id", "value"),
+    "SELECT event_id, value FROM events WHERE value >= 250.0",
+)
+
+# --- scalar functions (SURVEY §2.3) ---
+_q(
+    "s6_substring_search",
+    lambda s, d: _t(s, d, "documents")
+    .where(F.contains(F.lower("text"), F.lit("window")))
+    .select("doc_id", "n_chars"),
+    "SELECT doc_id, n_chars FROM documents WHERE contains(lower(text), 'window')",
+)
+_q(
+    "s7_s8_length_round",
+    lambda s, d: _t(s, d, "documents").select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.round(F.col("n_chars") / 7.0, 4).alias("score"),
+    ),
+    "SELECT doc_id, length(text) AS text_len, round(n_chars / 7.0, 4) AS score FROM documents",
+)
+_q(
+    "text_fingerprint",
+    lambda s, d: _t(s, d, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+    ),
+    "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents",
+)
+_q(
+    "text_token_count",
+    lambda s, d: _t(s, d, "documents")
+    .where(F.length(F.trim("text")) > 0)
+    .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")),
+    "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens "
+    "FROM documents WHERE length(trim(text)) > 0",
+)
+_q(
+    "text_quality_score",
+    lambda s, d: _t(s, d, "documents")
+    .where(F.length(F.trim("text")) > 0)
+    .select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+            / F.length("text"),
+            4,
+        ).alias("alnum_ratio"),
+        F.round(
+            F.length("text")
+            / F.size(F.split(F.trim("text"), r"\s+")),
+            4,
+        ).alias("avg_token_span"),
+    ),
+    "SELECT doc_id,"
+    " round(length(regexp_replace(text, '[^\\w\\s]', '', 'g')) / length(text), 4) AS alnum_ratio,"
+    " round(length(text) / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_span "
+    "FROM documents WHERE length(trim(text)) > 0",
+)
+
+# --- aggregations (SURVEY §2.5) ---
+_q(
+    "a1_group_stats",
+    lambda s, d: _t(s, d, "documents")
+    .groupBy("lang")
+    .agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    ),
+    "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,"
+    " count(DISTINCT source) AS n_sources FROM documents GROUP BY lang",
+)
+_q(
+    "a3_distinct_counts",
+    lambda s, d: _t(s, d, "documents").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ),
+    "SELECT count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,"
+    " count(*) AS n_docs FROM documents",
+)
+_q(
+    "a4_value_counts",
+    lambda s, d: _t(s, d, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")),
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+_q(
+    "a5_a6_confidence_bands",
+    lambda s, d: _t(s, d, "events").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count(F.when(F.col("value") >= 400, 1)).alias("high"),
+        F.count(F.when((F.col("value") >= 200) & (F.col("value") < 400), 1)).alias("mid"),
+        F.count(F.when(F.col("value") < 200, 1)).alias("low"),
+    ),
+    "SELECT round(avg(value), 4) AS avg_value,"
+    " count(*) FILTER (WHERE value >= 400) AS high,"
+    " count(*) FILTER (WHERE value >= 200 AND value < 400) AS mid,"
+    " count(*) FILTER (WHERE value < 200) AS low FROM events",
+)
+_q(
+    "a7_histogram",
+    lambda s, d: _t(s, d, "events")
+    .groupBy(F.floor(F.col("value") / 50).cast("long").alias("bin"))
+    .agg(F.count(F.lit(1)).alias("cnt")),
+    "SELECT cast(floor(value / 50) AS BIGINT) AS bin, count(*) AS cnt FROM events GROUP BY 1",
+)
+_q(
+    "a8_composite_score",
+    lambda s, d: _t(s, d, "documents")
+    .groupBy("lang")
+    .agg(F.round(F.count(F.lit(1)) * F.avg("n_chars"), 2).alias("composite")),
+    "SELECT lang, round(count(*) * avg(n_chars), 2) AS composite FROM documents GROUP BY lang",
+)
+_q(
+    "a9_purity",
+    lambda s, d: _t(s, d, "events")
+    .groupBy("event_type", "user_id")
+    .agg(F.count(F.lit(1)).alias("cnt"))
+    .groupBy("event_type")
+    .agg(F.round(F.max("cnt") / F.sum("cnt"), 4).alias("purity")),
+    "SELECT event_type, round(max(cnt) / sum(cnt), 4) AS purity FROM ("
+    " SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2)"
+    " GROUP BY event_type",
+)
+_q(
+    "q1_pricing_summary",
+    lambda s, d: _t(s, d, "lineitem")
+    .where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+    .groupBy("l_returnflag", "l_linestatus")
+    .agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    ),
+    "SELECT l_returnflag, l_linestatus,"
+    " round(cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,"
+    " round(cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,"
+    " round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order"
+    " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'"
+    " GROUP BY l_returnflag, l_linestatus",
+)
+
+# --- joins (SURVEY §2.6) ---
+_q(
+    "j2_result_enrichment",
+    lambda s, d: _t(s, d, "orders").join(_t(s, d, "customer"), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    ),
+    "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment FROM orders"
+    " JOIN customer ON o_custkey = c_custkey",
+)
+_q(
+    "j4_edge_semijoin",
+    lambda s, d: _t(s, d, "lineitem")
+    .join(
+        _t(s, d, "orders").where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "leftsemi",
+    )
+    .join(
+        _t(s, d, "supplier").where(F.col("s_nationkey") == 0).select("s_suppkey"),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "leftsemi",
+    )
+    .select("l_orderkey", "l_partkey", "l_quantity"),
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+    " WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+    " AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 0)",
+)
+
+# --- sorts / top-k / pagination / set ops (SURVEY §2.7) ---
+_q(
+    "t2_topk_per_group",
+    lambda s, d: _t(s, d, "documents")
+    .withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        ),
+    )
+    .where(F.col("rn") <= 3)
+    .select("lang", "doc_id", "n_chars"),
+    "SELECT lang, doc_id, n_chars FROM documents"
+    " QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3",
+)
+_q(
+    "t3_topk_global",
+    lambda s, d: _t(s, d, "documents")
+    .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    .limit(10)
+    .select("doc_id", "n_chars"),
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
+)
+_q(
+    "t5_pagination",
+    lambda s, d: _t(s, d, "documents")
+    .withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    )
+    .where((F.col("rn") > 20) & (F.col("rn") <= 40))
+    .select("doc_id", "n_chars"),
+    "SELECT doc_id, n_chars FROM ("
+    " SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn"
+    " FROM documents) WHERE rn > 20 AND rn <= 40",
+)
+_q(
+    "t8_pair_dedup",
+    lambda s, d: _t(s, d, "lineitem")
+    .where(F.col("l_partkey") != F.col("l_suppkey"))
+    .select(
+        F.least("l_partkey", "l_suppkey").alias("src"),
+        F.greatest("l_partkey", "l_suppkey").alias("dst"),
+    )
+    .distinct(),
+    "SELECT DISTINCT least(l_partkey, l_suppkey) AS src,"
+    " greatest(l_partkey, l_suppkey) AS dst FROM lineitem WHERE l_partkey <> l_suppkey",
+)
+_q(
+    "a10_degree_stats",
+    lambda s, d: (
+        lambda pairs: pairs.select(F.col("src").alias("node"))
+        .unionAll(pairs.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )(
+        _t(s, d, "lineitem")
+        .where(F.col("l_partkey") != F.col("l_suppkey"))
+        .select(
+            F.least("l_partkey", "l_suppkey").alias("src"),
+            F.greatest("l_partkey", "l_suppkey").alias("dst"),
+        )
+        .distinct()
+    ),
+    "WITH pairs AS (SELECT DISTINCT least(l_partkey, l_suppkey) AS src,"
+    " greatest(l_partkey, l_suppkey) AS dst FROM lineitem WHERE l_partkey <> l_suppkey)"
+    " SELECT node, count(*) AS degree FROM ("
+    " SELECT src AS node FROM pairs UNION ALL SELECT dst AS node FROM pairs)"
+    " GROUP BY node",
+)
+
+# --- dedup family (core engine + training-data extensions) ---
+_q(
+    "dedup_exact",
+    _dedup_exact,
+    "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS rep FROM documents GROUP BY md5(text)",
+)
+_q(
+    "dedup_ngram_jaccard",
+    _dedup_ngram_jaccard,
+    "WITH g AS (SELECT doc_id, list_distinct(list_transform("
+    " range(1, greatest(length(text) - 2, 1) + 1), i -> substr(text, i, 3))) AS grams"
+    " FROM documents WHERE doc_id < 40)"
+    " SELECT a.doc_id AS src, b.doc_id AS dst,"
+    " round(len(list_intersect(a.grams, b.grams)) /"
+    " len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard"
+    " FROM g a, g b WHERE a.doc_id < b.doc_id",
+)
+_q("dedup_minhash_assignments", _dedup_assignments)  # rows-only (non-SQL)
+_q("dedup_minhash_edges", _dedup_edges)  # rows-only (non-SQL)
+_q("dedup_simhash_candidates", _dedup_simhash_candidates)  # rows-only
+
+# --- similarity search ---
+_q(
+    "sim_cosine_topk",
+    _sim_cosine_topk,
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+    " SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /"
+    " (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *"
+    "  sqrt(list_dot_product(qv, qv))), 4) AS cos"
+    " FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10",
+)
+_q("sim_lsh_ann", _sim_lsh_ann)  # rows-only
+
+# --- text analysis (pandas-UDF based; rows-only) ---
+_q("text_lang_id", _text_lang_id)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)
