@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+
+The flagship measurement is the end-to-end MinHash dedup pipeline over the
+`documents` table (reference protocol config threshold=0.3, shingle_size=6,
+num_perm=64, seed=42); docs/sec is reported alongside per the BASELINE.md
+throughput definition.  Scaling-efficiency evidence (local[8] vs local[32])
+lives in scale_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sparkdedup.pipeline import build_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = build_spark(
+        app="sparkdedup-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_queries = entry_mod.queries()
+    headline = [
+        "dedup_minhash_assignments",  # flagship end-to-end pipeline
+        "dedup_exact",
+        "dedup_simhash_candidates",
+        "dedup_ngram_jaccard",
+        "sim_cosine_topk",
+        "q1_pricing_summary",
+        "j2_result_enrichment",
+        "a10_degree_stats",
+        "t2_topk_per_group",
+        "text_token_count",
+    ]
+
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+    for name in headline:
+        t0 = time.time()
+        df = all_queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    flagship = timings["dedup_minhash_assignments"]
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": int(cpus),
+        "dedup_docs": n_docs,
+        "dedup_docs_per_sec": round(n_docs / flagship, 1) if flagship > 0 else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,9 +40,13 @@ class CheckpointManager:
 
     def stage(self, name: str, build) -> DataFrame:
         """Materialize ``build()`` as checkpoint table ``name`` (or reload
-        if already committed) and record lineage metrics."""
+        if already committed) and record lineage metrics.
+
+        Without a checkpoint root, stages still materialize via
+        ``localCheckpoint`` — cutting lineage so downstream consumers (and
+        the iterative CC loop) never recompute expensive UDF stages."""
         if self.root is None:
-            return build()
+            return build().localCheckpoint(eager=True)
         if self._committed(name):
             return self.spark.read.parquet(self._path(name))
         t0 = time.time()

@@ -1,0 +1,92 @@
+"""spark-submit entry point (north_rule: "packaged for spark-submit
+--py-files").
+
+Usage:
+    zip -r sparkdedup.zip sparkdedup
+    spark-submit --py-files sparkdedup.zip -m sparkdedup.cli \\
+        --input /data/webpages --output /data/dedup_out \\
+        --checkpoint /data/dedup_ckpt --threshold 0.3 --shingle-size 6 \\
+        --text-col text --id-col url-hash
+
+On a cluster, executors/memory/AQE come from spark-submit conf; the job
+only sets what it owns (shuffle partitions default to cluster
+parallelism).  Writes three tables under --output: assignments/, edges/,
+and (from --checkpoint) the per-stage lineage metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sparkdedup.config import PREPROCESS_FULL, PREPROCESS_NONE, DedupConfig
+from sparkdedup.pipeline import DedupPipeline
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="sparkdedup: near-duplicate detection")
+    p.add_argument("--input", required=True, help="parquet path or table of documents")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--checkpoint", default=None, help="stage checkpoint dir (resumable)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id", help="long id column; use --id-from-url to derive")
+    p.add_argument("--id-from-url", action="store_true",
+                   help="derive doc_id = xxhash64(url) (web-scale id assignment)")
+    p.add_argument("--threshold", type=float, default=0.3)
+    p.add_argument("--shingle-size", type=int, default=6)
+    p.add_argument("--num-perm", type=int, default=64)
+    p.add_argument("--preprocess", choices=["none", "full"], default="none")
+    p.add_argument("--exact-prepass", action="store_true")
+    p.add_argument("--dense-labels", action="store_true",
+                   help="reference-parity dense cluster ids (needs a global rank; "
+                        "default = stable min-doc-id labels, the web-scale choice)")
+    p.add_argument("--salt-threshold", type=int, default=2000)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    spark = SparkSession.builder.appName("sparkdedup").getOrCreate()
+
+    docs = spark.read.parquet(args.input)
+    id_col = args.id_col
+    if args.id_from_url:
+        docs = docs.withColumn("doc_id", F.xxhash64("url"))
+        id_col = "doc_id"
+
+    cfg = DedupConfig(
+        threshold=args.threshold,
+        shingle_size=args.shingle_size,
+        num_perm=args.num_perm,
+        preprocess=dict(PREPROCESS_FULL if args.preprocess == "full" else PREPROCESS_NONE),
+        exact_dedup_prepass=args.exact_prepass,
+        band_salt_threshold=args.salt_threshold,
+    )
+    pipe = DedupPipeline(
+        spark, cfg, checkpoint_dir=args.checkpoint, dense_labels=args.dense_labels
+    )
+    out = pipe.run(docs, text_col=args.text_col, id_col=id_col)
+
+    out["assignments"].write.mode("overwrite").parquet(os.path.join(args.output, "assignments"))
+    out["edges"].write.mode("overwrite").parquet(os.path.join(args.output, "edges"))
+    summary = {
+        "docs": out["assignments"].count(),
+        "edges": out["edges"].count(),
+        "clusters": out["assignments"].select("cluster_id").distinct().count(),
+        "config": {
+            "threshold": cfg.threshold,
+            "shingle_size": cfg.shingle_size,
+            "num_perm": cfg.num_perm,
+            "bands_rows": list(cfg.bands_rows()),
+        },
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -61,28 +61,36 @@ def _noise(rng: random.Random, text: str, n_edits: int) -> str:
     return "".join(chars)
 
 
-def _group_sizes(n_rows: int, rng: random.Random) -> list[int]:
+def _group_sizes(n_rows: int, rng: random.Random, max_group_size: int = 500) -> list[int]:
     """Heavy-tailed sizes summing to ~n_rows (one dominant group, then a
-    zipf-ish tail down to singletons)."""
+    zipf-ish tail down to singletons).  Sizes are capped so a huge corpus
+    doesn't turn into one quadratic near-dup cluster (candidate pairs per
+    group scale with size^2)."""
     sizes = []
     remaining = n_rows
     head = [0.18, 0.09, 0.06, 0.045, 0.03, 0.025, 0.02, 0.015]
     for frac in head:
-        s = max(2, int(n_rows * frac))
+        s = min(max(2, int(n_rows * frac)), max_group_size)
         if s > remaining - 1:
             break
         sizes.append(s)
         remaining -= s
-    k = 2
     while remaining > 0:
-        s = min(remaining, max(1, int(rng.paretovariate(1.2))))
+        s = min(remaining, max_group_size, max(1, int(rng.paretovariate(1.2))))
         sizes.append(s)
         remaining -= s
-        k += 1
     return sizes
 
 
-def generate_webtext(n_rows: int, seed: int = 42) -> pd.DataFrame:
+def generate_webtext(
+    n_rows: int,
+    seed: int = 42,
+    max_group_size: int = 500,
+    words_range: tuple[int, int] = (5, 11),
+) -> pd.DataFrame:
+    """`words_range` controls document length: the default mirrors the
+    reference's short-verse corpus (~40 chars); pass e.g. (60, 140) for
+    web-page-like ~0.5-1.2 KB documents (bench fixtures)."""
     rng = random.Random(seed)
     vocab = _vocab(rng)
     rows: list[dict] = []
@@ -118,16 +126,19 @@ def generate_webtext(n_rows: int, seed: int = 42) -> pd.DataFrame:
         group_id += 1
 
     budget = n_rows - len(rows)
-    for size in _group_sizes(budget, rng):
-        n_words = rng.randint(5, 11)
+    for size in _group_sizes(budget, rng, max_group_size):
+        n_words = rng.randint(*words_range)
         seed_sentence = " ".join(rng.choice(vocab) for _ in range(n_words))
+        # edit count scales with length so clone similarity stays in the
+        # near-dup range instead of converging to exact-dup on long docs
+        max_edits = max(3, n_words // 4)
         for j in range(size):
             if j == 0:
                 emit(seed_sentence, group_id)
             elif j == 1 and size >= 4:
                 emit(seed_sentence, group_id)  # exact duplicate inside group
             else:
-                emit(_noise(rng, seed_sentence, rng.randint(1, 3)), group_id)
+                emit(_noise(rng, seed_sentence, rng.randint(1, max_edits)), group_id)
         group_id += 1
         if len(rows) >= n_rows:
             break

@@ -1,0 +1,151 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed via Arrow-batched ``mapInPandas``.
+
+The decode kernels themselves are STUBBED (image/audio libs are not in
+this container): ``decode_image_stub`` produces a deterministic fake
+"pixel summary" from the bytes so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and testable; swap
+``_decode_*`` for PIL/torchaudio kernels in production.
+
+Usage:
+    meta = media_metadata(df, "payload")           # size/magic/mime/sha
+    feats = decode_features(df, "payload", kind="image")  # mapInPandas
+    frames = sample_frames(df, "payload", every=10)       # video stub
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"GIF8": "image/gif",
+    b"RIFF": "audio/wav",
+    b"ID3": "audio/mpeg",
+    b"\x00\x00\x00\x18ftyp": "video/mp4",
+    b"<htm": "text/html",
+    b"<!DO": "text/html",
+}
+
+
+def sniff_mime(data: bytes | None) -> str | None:
+    if data is None:
+        return None
+    for magic, mime in _MAGIC.items():
+        if data[: len(magic)] == magic:
+            return mime
+    return "application/octet-stream"
+
+
+def media_metadata(df: DataFrame, bin_col: str) -> DataFrame:
+    """Typed metadata over an opaque binary column — pure built-ins where
+    possible (length, sha2 JVM-side), magic-sniff via a pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def _mime(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: sniff_mime(None if b is None else bytes(b)))
+
+    return df.withColumn("media_bytes", F.length(F.col(bin_col)).cast("long")).withColumn(
+        "media_sha256", F.sha2(F.col(bin_col), 256)
+    ).withColumn("media_mime", _mime(F.col(bin_col)))
+
+
+def _decode_image(data: bytes) -> np.ndarray:
+    """STUB decode: deterministic fake 8x8 'thumbnail' derived from a
+    seeded hash of the bytes.  Replace with a real decoder (PIL) in
+    production — NotImplementedError would be raised for real use:
+
+        raise NotImplementedError("image decode requires PIL")
+
+    We return the deterministic fake so batch shape / schema tests run.
+    """
+    h = hashlib.sha256(data).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+    return rng.random((8, 8), dtype=np.float64)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+        StructField("feat_dim", LongType()),
+    ]
+)
+
+
+def decode_features(df: DataFrame, bin_col: str, id_col: str = "media_id") -> DataFrame:
+    """binary -> fixed-dim feature vector via mapInPandas (Arrow batches).
+
+    Partition-parallel: each task decodes its batch independently; no
+    shuffle is introduced (narrow transformation), so feature extraction
+    scales linearly with input partitions at 100 TB.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[bin_col]:
+                if b is None:
+                    feats.append(None)
+                else:
+                    img = _decode_image(bytes(b))
+                    feats.append(img.mean(axis=0).tolist())  # 8-dim pooled
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "feature": feats,
+                    "feat_dim": [None if f is None else len(f) for f in feats],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, bin_col: str, id_col: str = "media_id", every: int = 10) -> DataFrame:
+    """Video frame-sampling stub: emits one row per sampled 'frame'
+    (deterministic chunk of the payload) — a 1->N mapInPandas expansion,
+    the real shape of a frame-sampling operator."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_sha = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[bin_col]):
+                if b is None:
+                    continue
+                data = bytes(b)
+                n_chunks = max(1, len(data) // 64)
+                for k in range(0, n_chunks, every):
+                    chunk = data[k * 64 : (k + 1) * 64]
+                    out_id.append(mid)
+                    out_idx.append(k)
+                    out_sha.append(hashlib.sha1(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "frame_sha": out_sha}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_frames, FRAME_SCHEMA)

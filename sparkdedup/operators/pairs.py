@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 def _pairs_from_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     l = left.select(*on, F.col("doc_id").alias("src"))
     r = right.select(*on, F.col("doc_id").alias("dst"))
-    return l.join(r, on).where(F.col("src") < F.col("dst"))
+    # shuffle-hash beats sort-merge here: band rows are narrow (two longs),
+    # group sizes are bounded (hot bands were split off), and the output
+    # explodes quadratically per group so the sort would dominate
+    return l.join(r.hint("shuffle_hash"), on).where(F.col("src") < F.col("dst"))
 
 
 def candidate_pairs(
@@ -49,6 +52,11 @@ def candidate_pairs(
     limit = salt_threshold if salt_threshold is not None else drop_threshold
     # hot-band table is tiny (few keys exceed the threshold) -> broadcast
     hot_keys = sizes.where(F.col("band_size") > F.lit(limit))
+    # adaptive: when no band is hot (the common case after an exact-dup
+    # pre-pass), skip the salting plan entirely — saves a broadcast join,
+    # a union and two shuffles.  The count is one cheap partial-agg job.
+    if hot_keys.limit(1).count() == 0:
+        return _pairs_from_join(bands, bands, ["band_key"]).select("src", "dst").distinct()
     b = bands.join(F.broadcast(hot_keys), "band_key", "left")
 
     cold = b.where(F.col("band_size").isNull())

@@ -32,14 +32,19 @@ def verify_pairs(
 ) -> DataFrame:
     """(src, dst) x (doc_id, sig) -> edges (src, dst, sim) with sim >= t.
 
-    Two equi-joins attach signatures to both endpoints; Catalyst prunes to
-    (doc_id, sig) and AQE picks broadcast vs sort-merge by size.
+    Two equi-joins attach signatures to both endpoints.  The signatures
+    side gets a SHUFFLE_HASH hint: |pairs| >> |signatures| in any
+    duplicate-heavy corpus, and hash-building on the small side avoids
+    sort-merge's O(pairs log pairs) sort of the big side twice — the
+    dominant verify cost (measured: joins were ~85% of the stage).  At
+    10^12 docs signatures cannot be broadcast, so SHJ is also the
+    scale-correct physical choice.
     """
     s1 = signatures.select(F.col(id_col).alias("src"), F.col(sig_col).alias("_sig_src"))
     s2 = signatures.select(F.col(id_col).alias("dst"), F.col(sig_col).alias("_sig_dst"))
     return (
-        pairs.join(s1, "src")
-        .join(s2, "dst")
+        pairs.join(s1.hint("shuffle_hash"), "src")
+        .join(s2.hint("shuffle_hash"), "dst")
         .withColumn("sim", jaccard_expr("_sig_src", "_sig_dst", num_perm))
         .where(F.col("sim") >= F.lit(threshold))
         .select("src", "dst", "sim")

@@ -50,11 +50,15 @@ class DedupPipeline:
     def normalize(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         """P1 projection + null filter + S1 preprocess."""
         udf = preprocess_udf(self.config.preprocess_options())
-        return (
-            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-            .where(F.col("text").isNotNull())
-            .withColumn("clean", udf(F.col("text").cast("string")))
-        )
+        projected = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).where(F.col("text").isNotNull())
+        # spread the (possibly few-file) scan across all cores so the
+        # pandas-UDF stages parallelize; round-robin keeps sizes balanced
+        n_parts = self.spark.sparkContext.defaultParallelism
+        if projected.rdd.getNumPartitions() < n_parts:
+            projected = projected.repartition(n_parts)
+        return projected.withColumn("clean", udf(F.col("text").cast("string")))
 
     def signatures(self, clean: DataFrame) -> DataFrame:
         c = self.config

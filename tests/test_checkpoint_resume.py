@@ -1,0 +1,71 @@
+"""Resumability (north_rule): kill after stage k, re-run, identical output;
+lineage metrics recorded per stage + partition."""
+
+import json
+import os
+import shutil
+
+from sparkdedup.config import DedupConfig
+from sparkdedup.io.webtext import webtext_spark_df
+from sparkdedup.pipeline import DedupPipeline
+
+
+def _assignments(pipe, sdf):
+    out = pipe.run(sdf)
+    return sorted(
+        (r["doc_id"], r["cluster_id"], round(r["certainty"], 9))
+        for r in out["assignments"].collect()
+    )
+
+
+def test_resume_from_partial_checkpoint(spark, tmp_path):
+    sdf = webtext_spark_df(spark, 200, seed=42)
+    cfg = DedupConfig(threshold=0.3, shingle_size=6)
+
+    ck1 = str(tmp_path / "run1")
+    full = _assignments(DedupPipeline(spark, cfg, checkpoint_dir=ck1), sdf)
+
+    # simulate a crash after the signatures stage: copy early stages only
+    ck2 = str(tmp_path / "run2")
+    os.makedirs(ck2)
+    for stage in ("01_normalize", "03_signatures"):
+        shutil.copytree(os.path.join(ck1, stage), os.path.join(ck2, stage))
+
+    resumed = _assignments(DedupPipeline(spark, cfg, checkpoint_dir=ck2), sdf)
+    assert resumed == full
+
+    # later stages were written by the resumed run
+    assert os.path.exists(os.path.join(ck2, "06_edges", "_SUCCESS"))
+    assert os.path.exists(os.path.join(ck2, "08_assignments", "_SUCCESS"))
+
+
+def test_lineage_metrics_recorded(spark, tmp_path):
+    sdf = webtext_spark_df(spark, 150, seed=42)
+    ck = str(tmp_path / "ck")
+    pipe = DedupPipeline(spark, DedupConfig(), checkpoint_dir=ck)
+    pipe.run(sdf)
+
+    with open(os.path.join(ck, "_metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    stages = {r["stage"] for r in rows if r["kind"] == "stage"}
+    assert {"01_normalize", "03_signatures", "06_edges", "08_assignments", "09_final"} <= stages
+    # per-partition lineage rows exist and carry row counts
+    parts = [r for r in rows if r["kind"] == "partition" and r["stage"] == "03_signatures"]
+    assert parts and all(p["rows_out"] >= 0 for p in parts)
+    sig_stage = next(r for r in rows if r["kind"] == "stage" and r["stage"] == "03_signatures")
+    assert sig_stage["rows_out"] == 150
+    assert sig_stage["wall_ms"] >= 0
+
+
+def test_second_run_reuses_checkpoints(spark, tmp_path):
+    sdf = webtext_spark_df(spark, 150, seed=42)
+    ck = str(tmp_path / "ck")
+    a1 = _assignments(DedupPipeline(spark, DedupConfig(), checkpoint_dir=ck), sdf)
+    # metrics recorded once per stage
+    with open(os.path.join(ck, "_metrics.jsonl")) as f:
+        n_before = sum(1 for _ in f)
+    a2 = _assignments(DedupPipeline(spark, DedupConfig(), checkpoint_dir=ck), sdf)
+    with open(os.path.join(ck, "_metrics.jsonl")) as f:
+        n_after = sum(1 for _ in f)
+    assert a1 == a2
+    assert n_after == n_before  # fully resumed: no stage recomputed

@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism of the
+stubbed decode kernels (SURVEY-adjacent training-data extension)."""
+
+from sparkdedup.multimodal import (
+    decode_features,
+    media_metadata,
+    sample_frames,
+    sniff_mime,
+)
+
+
+def _media_df(spark):
+    rows = [
+        (0, b"\x89PNG\r\n" + b"x" * 300),
+        (1, b"\xff\xd8\xff\xe0" + b"y" * 200),
+        (2, b"<html><body>hi</body></html>"),
+        (3, None),
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_sniff_mime():
+    assert sniff_mime(b"\x89PNGxxxx") == "image/png"
+    assert sniff_mime(b"\xff\xd8\xff\xe1") == "image/jpeg"
+    assert sniff_mime(b"random") == "application/octet-stream"
+    assert sniff_mime(None) is None
+
+
+def test_media_metadata(spark):
+    out = media_metadata(_media_df(spark), "payload").collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[0]["media_mime"] == "image/png"
+    assert by_id[0]["media_bytes"] == 306
+    assert by_id[2]["media_mime"] == "text/html"
+    assert by_id[3]["media_bytes"] is None
+    assert len(by_id[1]["media_sha256"]) == 64
+
+
+def test_decode_features_schema_and_determinism(spark):
+    df = _media_df(spark)
+    out1 = {r["media_id"]: r for r in decode_features(df, "payload").collect()}
+    out2 = {r["media_id"]: r for r in decode_features(df, "payload").collect()}
+    assert out1[0]["feat_dim"] == 8
+    assert out1[0]["feature"] == out2[0]["feature"]  # deterministic stub
+    assert out1[3]["feature"] is None
+
+
+def test_sample_frames_expansion(spark):
+    out = sample_frames(_media_df(spark), "payload", every=2).collect()
+    ids = {r["media_id"] for r in out}
+    assert 0 in ids and 3 not in ids  # null payload yields no frames
+    assert all(len(r["frame_sha"]) == 40 for r in out)
