@@ -35,7 +35,9 @@ def ensure_data() -> None:
     # useful as a stress fixture, wrong as a throughput baseline);
     # words_range=(60, 140) gives web-page-like ~0.5-1.2 KB documents so
     # the job is compute-bound rather than overhead-bound
-    pdf = generate_webtext(N_ROWS, seed=42, max_group_size=100, words_range=(60, 140))
+    pdf = generate_webtext(
+        N_ROWS, seed=42, max_group_size=100, words_range=(60, 140), vocab_size=8000
+    )
     pdf = pdf.reset_index().rename(columns={"index": "doc_id"})
     # drop html (bulk) and warc_ts (pandas writes TIMESTAMP(NANOS), which
     # Spark's parquet reader rejects); the job needs doc_id + text
@@ -58,7 +60,15 @@ def worker(cpus: int) -> None:
     t0 = time.time()
     pipe = DedupPipeline(
         spark,
-        DedupConfig(threshold=0.3, shingle_size=6, exact_dedup_prepass=True),
+        DedupConfig(
+            threshold=0.3,
+            shingle_size=6,
+            exact_dedup_prepass=True,
+            # scale mode: balance 500-1000 buckets, drop >1000 (logged) —
+            # common-shingle junk buckets, not similarity signal
+            band_salt_threshold=500,
+            band_drop_threshold=1000,
+        ),
         dense_labels=False,  # scale mode: stable min-doc-id labels
     )
     out = pipe.run(docs, text_col="text", id_col="doc_id")

@@ -95,6 +95,13 @@ class CheckpointManager:
         )
         return out
 
+    def log_event(self, event: dict) -> None:
+        """Append a free-form audit row (e.g. dropped-band stats) to the
+        lineage metrics log."""
+        if self.root is None:
+            return
+        self._log([{"run_id": self.run_id, "kind": "event", **event}])
+
     def metrics(self) -> list[dict]:
         p = os.path.join(self.root, "_metrics.jsonl")
         if self.root is None or not os.path.exists(p):

@@ -13,33 +13,70 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import LongType
 
 from sparkdedup.minhash import cached_permutations, shingle_hash32, signature_from_hashes
 
+# worker-persistent k-gram -> hash32 cache: python workers are reused
+# across Arrow batches/tasks, and web boilerplate repeats massively, so a
+# module-level cache beats per-batch caches; bounded to cap memory
+_GRAM_CACHE: dict = {}
+_GRAM_CACHE_MAX = 4_000_000
 
-def minhash_udf(shingle_size: int, num_perm: int = 64, seed: int = 42):
-    """clean_text string -> signature array<long> (num_perm values < 2^32).
+
+def _gram_cache() -> dict:
+    global _GRAM_CACHE
+    if len(_GRAM_CACHE) > _GRAM_CACHE_MAX:
+        _GRAM_CACHE = {}
+    return _GRAM_CACHE
+
+
+def signature_batches(shingle_size: int, num_perm: int, seed: int, id_field: str, text_field: str):
+    """mapInArrow kernel: (id, text) RecordBatches -> (id, sig) batches.
+
+    mapInArrow (not a pandas UDF) because building the list<int64>
+    signature column via pa.ListArray.from_arrays on a flat matrix is
+    ~500x faster than pandas->Arrow conversion of a Series of arrays
+    (measured 3.3s vs 0.006s per 25k rows) — the UDF return path was the
+    signatures stage's dominant cost, not the hashing."""
+
+    def gen(batches):
+        a, b = cached_permutations(num_perm, seed)
+        cache = _gram_cache()
+        for batch in batches:
+            ids = batch.column(id_field)
+            texts = batch.column(text_field).to_pylist()
+            n = len(texts)
+            mat = np.empty((n, num_perm), dtype=np.int64)
+            for i, t in enumerate(texts):
+                sig = signature_from_hashes(
+                    shingle_hash32("" if t is None else str(t), shingle_size, cache),
+                    a,
+                    b,
+                )
+                mat[i] = sig.astype(np.int64)
+            offsets = pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32))
+            sig_col = pa.ListArray.from_arrays(offsets, pa.array(mat.reshape(-1)))
+            yield pa.RecordBatch.from_arrays([ids, sig_col], ["doc_id", "sig"])
+
+    return gen
+
+
+def attach_signatures(df, shingle_size: int, num_perm: int = 64, seed: int = 42,
+                      id_col: str = "doc_id", text_col: str = "clean"):
+    """(id, text, ...) -> (doc_id, sig array<long>) via mapInArrow.
 
     Parity chain per minhash_processor.py:5-16 + shingle_generator.py:9-15
-    (see sparkdedup/minhash.py docstring).
-    """
-
-    @pandas_udf(ArrayType(LongType()))
-    def _minhash(s: pd.Series) -> pd.Series:
-        a, b = cached_permutations(num_perm, seed)
-        cache: dict = {}
-        out = []
-        for t in s:
-            if t is None:
-                out.append(None)
-                continue
-            sig = signature_from_hashes(shingle_hash32(str(t), shingle_size, cache), a, b)
-            out.append(sig.astype(np.int64))  # values < 2^32: safe signed cast
-        return pd.Series(out)
-
-    return _minhash
+    (see sparkdedup/minhash.py docstring)."""
+    src = df.select(
+        df[id_col].alias("doc_id"), df[text_col].alias("_sig_text")
+    )
+    return src.mapInArrow(
+        signature_batches(shingle_size, num_perm, seed, "doc_id", "_sig_text"),
+        "doc_id long, sig array<bigint>",
+    )
 
 
 def simhash64_text(text: str, shingle_size: int, cache: dict | None = None) -> int:

@@ -1,0 +1,71 @@
+"""Corpus sources (SURVEY.md §2.1 SRC1-SRC3, §2.2 P2).
+
+The reference ingests arbitrary CSVs and resolves the text column by
+lowercased/stripped name == 'text' (main.py:406-407), with an optional id
+column from a candidate list (main.py:417-419) and benchmark-mode
+relaxation to "contains 'text'" (benchmark_performance.py:73-75).  Its
+60k-row / 100 MB caps are deliberately NOT reproduced — removing them is
+the point of the Spark build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ID_CANDIDATES = ["id", "doc_id", "document_id", "index", "number"]
+
+
+def detect_text_column(df: DataFrame, relaxed: bool = False) -> str:
+    """Exact reference resolution order: name == 'text' after
+    lower().strip(); relaxed mode accepts the first column containing
+    'text'."""
+    exact = [c for c in df.columns if c.lower().strip() == "text"]
+    if exact:
+        return exact[0]
+    if relaxed:
+        loose = [c for c in df.columns if "text" in c.lower()]
+        if loose:
+            return loose[0]
+    raise ValueError(f"no text column among {df.columns}")
+
+
+def detect_id_column(df: DataFrame) -> str | None:
+    lower = {c.lower().strip(): c for c in df.columns}
+    for cand in ID_CANDIDATES:
+        if cand in lower:
+            return lower[cand]
+    return None
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    text_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Read a corpus and normalize to (doc_id long, text string, ...rest).
+
+    doc_id: detected id column if present, else xxhash64(all columns) is
+    NOT used (unstable) — a deterministic zip-with-index over the input
+    order would need a sort key; instead we require an id column or derive
+    from a 'url' column when present (web-scale id assignment)."""
+    if fmt == "csv":
+        df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    elif fmt == "json":
+        df = spark.read.json(path)
+    else:
+        df = spark.read.parquet(path)
+
+    tcol = text_col or detect_text_column(df, relaxed=True)
+    icol = id_col or detect_id_column(df)
+    if icol is not None:
+        out = df.withColumn("doc_id", F.col(icol).cast("long"))
+    elif "url" in df.columns:
+        out = df.withColumn("doc_id", F.xxhash64("url"))
+    else:
+        raise ValueError("no id column detected and no url column to derive one from")
+    if tcol != "text":
+        out = out.withColumn("text", F.col(tcol).cast("string"))
+    return out

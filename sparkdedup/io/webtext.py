@@ -87,12 +87,19 @@ def generate_webtext(
     seed: int = 42,
     max_group_size: int = 500,
     words_range: tuple[int, int] = (5, 11),
+    vocab_size: int = 400,
 ) -> pd.DataFrame:
     """`words_range` controls document length: the default mirrors the
     reference's short-verse corpus (~40 chars); pass e.g. (60, 140) for
-    web-page-like ~0.5-1.2 KB documents (bench fixtures)."""
+    web-page-like ~0.5-1.2 KB documents (bench fixtures).
+
+    `vocab_size` must scale with document length: long documents over a
+    tiny vocabulary share so many intra-word shingles that UNRELATED docs
+    reach Jaccard ~0.2 and LSH banding floods with cross-group candidates
+    (a quadratic blowup no engine survives); real language at ~1 KB/doc
+    corresponds to several thousand common words."""
     rng = random.Random(seed)
-    vocab = _vocab(rng)
+    vocab = _vocab(rng, vocab_size)
     rows: list[dict] = []
     group_id = 0
 

@@ -39,12 +39,44 @@ def _pairs_from_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFr
     return l.join(r.hint("shuffle_hash"), on).where(F.col("src") < F.col("dst"))
 
 
+def dropped_band_stats(bands: DataFrame, drop_threshold: int) -> dict:
+    """Audit row for the recall-losing drop knob: how many band buckets /
+    band rows the cap removes (logged to lineage metrics — 'no silent
+    caps')."""
+    row = (
+        bands.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("band_size"))
+        .where(F.col("band_size") > drop_threshold)
+        .agg(
+            F.count(F.lit(1)).alias("dropped_buckets"),
+            F.coalesce(F.sum("band_size"), F.lit(0)).alias("dropped_rows"),
+            F.coalesce(F.max("band_size"), F.lit(0)).alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    return {
+        "dropped_buckets": int(row["dropped_buckets"]),
+        "dropped_rows": int(row["dropped_rows"]),
+        "max_bucket": int(row["max_bucket"]),
+        "drop_threshold": drop_threshold,
+    }
+
+
 def candidate_pairs(
     bands: DataFrame,
     salt_threshold: int | None = 2000,
     drop_threshold: int | None = None,
 ) -> DataFrame:
-    """(band_key, doc_id) -> distinct (src long, dst long), src < dst."""
+    """(band_key, doc_id) -> distinct (src long, dst long), src < dst.
+
+    drop_threshold: buckets larger than this are removed entirely.  At
+    r=3, a bucket of thousands of docs is driven by globally-common
+    shingles dominating the minhash minima (boilerplate effect), not by
+    pairwise similarity — genuinely similar pairs inside such a bucket
+    share other, small bands with overwhelming probability, so the recall
+    loss is negligible while the pair volume drops by orders of magnitude.
+    (The reference's max_candidates=500/150 caps are its blunter version
+    of the same defense — cluster_in_mem.py:165.)"""
     if salt_threshold is None and drop_threshold is None:
         return _pairs_from_join(bands, bands, ["band_key"]).select("src", "dst").distinct()
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from sparkdedup.checkpoint import CheckpointManager
 from sparkdedup.config import DedupConfig
 from sparkdedup.functions.preprocess import preprocess_udf
-from sparkdedup.functions.signatures import minhash_udf
+from sparkdedup.functions.signatures import attach_signatures
 from sparkdedup.operators.bands import explode_bands
 from sparkdedup.operators.certainty import with_certainty
 from sparkdedup.operators.connected_components import (
@@ -53,22 +53,31 @@ class DedupPipeline:
         projected = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).where(F.col("text").isNotNull())
-        # spread the (possibly few-file) scan across all cores so the
-        # pandas-UDF stages parallelize; round-robin keeps sizes balanced
+        # ALWAYS spread the scan across all cores before the Python
+        # stages: a single-row-group parquet file scans as ONE effective
+        # partition no matter what getNumPartitions claims (the DataFrame
+        # .rdd partition count is a plan artifact, not the scan split) —
+        # skipping this serialized the whole UDF chain onto one worker
         n_parts = self.spark.sparkContext.defaultParallelism
-        if projected.rdd.getNumPartitions() < n_parts:
-            projected = projected.repartition(n_parts)
+        projected = projected.repartition(n_parts)
         return projected.withColumn("clean", udf(F.col("text").cast("string")))
 
     def signatures(self, clean: DataFrame) -> DataFrame:
         c = self.config
-        mh = minhash_udf(c.shingle_size, c.num_perm, c.seed)
-        return clean.select("doc_id", mh(F.col("clean")).alias("sig"))
+        return attach_signatures(
+            clean, c.shingle_size, c.num_perm, c.seed, id_col="doc_id", text_col="clean"
+        )
 
     def edges(self, sigs: DataFrame) -> DataFrame:
         c = self.config
         b, r = c.bands_rows()
         bands = explode_bands(sigs, b, r)
+        if c.band_drop_threshold is not None:
+            # no silent caps: record what the drop knob removed
+            from sparkdedup.operators.pairs import dropped_band_stats
+
+            self.last_drop_stats = dropped_band_stats(bands, c.band_drop_threshold)
+            self.ckpt.log_event({"event": "dropped_bands", **self.last_drop_stats})
         pairs = candidate_pairs(
             bands,
             salt_threshold=c.band_salt_threshold,
