@@ -297,6 +297,30 @@ _q(
     "FROM documents WHERE length(trim(text)) > 0",
 )
 
+_q(
+    "p5_range_filter",
+    lambda s, d: _t(s, d, "documents")
+    .groupBy("lang")
+    .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    .where((F.col("n_docs") >= 20) & (F.col("n_docs") <= 2000) & (F.col("avg_chars") >= 100.0)),
+    "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars FROM documents"
+    " GROUP BY lang HAVING count(*) BETWEEN 20 AND 2000 AND round(avg(n_chars), 4) >= 100.0",
+)
+_q(
+    "s9_regex_strip_suffix",
+    lambda s, d: _t(s, d, "documents").select(
+        "doc_id", F.regexp_replace("source", r"\d+$", "").alias("source_base")
+    ),
+    "SELECT doc_id, regexp_replace(source, '\\d+$', '') AS source_base FROM documents",
+)
+_q(
+    "t1_multi_key_sort",
+    lambda s, d: _t(s, d, "documents")
+    .orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("doc_id"))
+    .select("doc_id", "lang", "n_chars"),
+    "SELECT doc_id, lang, n_chars FROM documents ORDER BY lang, n_chars DESC, doc_id",
+)
+
 # --- aggregations (SURVEY §2.5) ---
 _q(
     "a1_group_stats",

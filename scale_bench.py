@@ -20,7 +20,7 @@ import time
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(ROOT, ".benchdata", "webtext_bench.parquet")
-N_ROWS = int(os.environ.get("SCALE_BENCH_ROWS", "200000"))
+N_ROWS = int(os.environ.get("SCALE_BENCH_ROWS", "500000"))
 
 
 def ensure_data() -> None:
@@ -54,8 +54,17 @@ def worker(cpus: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(DATA)
-    # warm JVM + python workers outside the measured window
-    docs.limit(1000).select("text").write.format("noop").mode("overwrite").save()
+    # warm JVM codegen + spin up ALL python workers outside the measured
+    # window (one tiny task per core)
+    from pyspark.sql.functions import pandas_udf, col
+
+    @pandas_udf("int")
+    def _warm(s):
+        return s.str.len().astype("int32")
+
+    docs.limit(cpus * 200).repartition(cpus).select(_warm(col("text"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     t0 = time.time()
     pipe = DedupPipeline(

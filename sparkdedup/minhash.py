@@ -87,6 +87,10 @@ def shingle_hash32(text: str, shingle_size: int, cache: dict | None = None) -> n
     if not grams:
         return np.array([sha1_hash32(_EMPTY_TOKEN)], dtype=np.uint64)
 
+    # within-doc dedup BEFORE hashing: the signature is a min over the
+    # shingle set, so repeated k-grams contribute nothing — skip their
+    # md5+sha1 entirely (the downstream np.unique then sees unique hashes)
+    grams = set(grams)
     if cache is None:
         cache = {}
     out = np.empty(len(grams), dtype=np.uint64)

@@ -145,10 +145,15 @@ class DedupPipeline:
 
 
 def build_spark(
-    app: str = "sparkdedup", master: str | None = None, shuffle_partitions: int = 32
+    app: str = "sparkdedup",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    driver_mem: str = "48g",
 ) -> SparkSession:
     """Session tuned for the sandbox; on a real cluster these come from
-    spark-submit conf."""
+    spark-submit conf.  In local mode the driver JVM IS the executor and
+    holds every localCheckpoint block — size the heap for the data, not
+    for a driver."""
     b = (
         SparkSession.builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -156,7 +161,7 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", driver_mem)
     )
     if master:
         b = b.master(master)

@@ -1,0 +1,44 @@
+"""Corpus source tests: text/id column detection parity (main.py:406-419,
+benchmark_performance.py:73-75) and CSV/parquet ingestion."""
+
+import pytest
+
+from sparkdedup.io.sources import detect_id_column, detect_text_column, read_corpus
+
+
+def test_detect_text_column_exact(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, ` Text ` string")
+    assert detect_text_column(df) == " Text "
+
+
+def test_detect_text_column_relaxed(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, body_text string")
+    with pytest.raises(ValueError):
+        detect_text_column(df, relaxed=False)
+    assert detect_text_column(df, relaxed=True) == "body_text"
+
+
+def test_detect_id_column_priority(spark):
+    df = spark.createDataFrame([(1, 2, "x")], "index long, doc_id long, text string")
+    # candidate list order: 'id', 'doc_id', ... -> doc_id before index
+    assert detect_id_column(df) == "doc_id"
+
+
+def test_read_corpus_csv(spark, tmp_path):
+    p = str(tmp_path / "corpus_csv")
+    spark.createDataFrame(
+        [(0, "hello world"), (1, "goodbye world")], "id long, TEXT string"
+    ).write.option("header", "true").csv(p)
+    df = read_corpus(spark, p, fmt="csv")
+    rows = {r["doc_id"]: r["text"] for r in df.select("doc_id", "text").collect()}
+    assert rows == {0: "hello world", 1: "goodbye world"}
+
+
+def test_read_corpus_url_derivation(spark, tmp_path):
+    p = str(tmp_path / "corpus_parquet")
+    spark.createDataFrame(
+        [("https://a.example/1", "doc a"), ("https://b.example/2", "doc b")],
+        "url string, text string",
+    ).write.parquet(p)
+    df = read_corpus(spark, p)
+    assert df.select("doc_id").distinct().count() == 2
