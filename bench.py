@@ -36,17 +36,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     all_queries = entry_mod.queries()
+    # Ordered cheap-first: the first queries absorb the one-time session
+    # cold start (JVM JIT, Python worker spawn, Arrow init — ~30-60 s at
+    # local[32]) so each later per-query wall time measures the query, not
+    # the runtime bring-up.  The single-process oracle baseline
+    # (BENCH/BASELINE.md) pays no such start either, so warm-measured
+    # queries are the apples-to-apples comparison.
     headline = [
-        "dedup_minhash_assignments",  # flagship end-to-end pipeline
-        "dedup_exact",
-        "dedup_simhash_candidates",
-        "dedup_ngram_jaccard",
-        "sim_cosine_topk",
         "q1_pricing_summary",
         "j2_result_enrichment",
-        "a10_degree_stats",
         "t2_topk_per_group",
         "text_token_count",
+        "a10_degree_stats",
+        "sim_cosine_topk",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_simhash_candidates",
+        "dedup_minhash_assignments",  # flagship end-to-end pipeline
     ]
 
     timings: dict[str, float] = {}

