@@ -107,8 +107,12 @@ def _dedup_simhash_candidates(spark, sf_dir) -> DataFrame:
     Hamming distance via bit_count(xor)."""
     from sparkdedup.functions.signatures import simhash_udf
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", simhash_udf(6)(F.col("text")).alias("sh")
+    # spread the scan first: a single-row-group parquet file scans as ONE
+    # partition and would serialize the UDF onto one worker
+    d = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", simhash_udf(6)(F.col("text")).alias("sh"))
     )
     bands = d.select(
         "doc_id",
@@ -165,17 +169,20 @@ def _sim_cosine_topk(spark, sf_dir) -> DataFrame:
 
 
 def _sim_lsh_ann(spark, sf_dir) -> DataFrame:
-    """LSH-bucketed ANN (scale path): sign-of-sum-of-chunks random-
-    hyperplane-style bucket, exact cosine within bucket vs vec_id 0's
-    bucket.  Deterministic, rows-only check."""
+    """LSH-bucketed ANN (scale path): axis-aligned-hyperplane bucket from
+    the sign of 8 fixed coordinates, exact cosine within vec_id 0's
+    bucket.  Signs of single stored floats (no re-summation) make the
+    bucket bit-exact across engines -> DuckDB-oracle-able."""
     e = _t(spark, sf_dir, "embeddings")
-    # cheap deterministic bucket: sign pattern of 8 coordinate-chunk sums
-    bucket = F.expr(
-        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc * 2 + "
-        "if(aggregate(slice(embedding, i * 8 + 1, 8), cast(0.0 as double),"
-        " (a, v) -> a + cast(v as double)) > 0, 1L, 0L))"
-    )
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    # 4-bit bucket: bit i = sign(embedding[16*i]), MSB-first (16 buckets —
+    # sized so a small-sf bucket still holds candidates; at scale the bit
+    # count scales with corpus size).  Spark array indexing is 0-based
+    # (DuckDB's is 1-based).
+    bucket = None
+    for i in range(4):
+        bit = F.when(F.expr(f"embedding[{16 * i}]") > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket * 2 + bit
+    b = e.select("vec_id", "embedding", bucket.cast("long").alias("bucket"))
     q = b.where(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
     )
@@ -188,15 +195,86 @@ def _sim_lsh_ann(spark, sf_dir) -> DataFrame:
     )
 
 
+# --------------------------------------------------- substring dedup stage
+
+
+def _dedup_substring_spans(spark, sf_dir) -> DataFrame:
+    """Exact-substring stage (SURVEY §7 stage 7) over a small all-pairs
+    set: longest common substring via the suffix automaton, pairs sharing
+    a span >= 12 chars on 160-char prefixes.  The DuckDB oracle computes
+    the same maximum by enumerating candidate substrings — an independent
+    algorithm, so this is a genuine cross-check of the automaton."""
+    from sparkdedup.operators.substring import substring_edges
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.substring("text", 1, 160).alias("clean"))
+    )
+    a = d.select(F.col("doc_id").alias("src"))
+    b = d.select(F.col("doc_id").alias("dst"))
+    pairs = a.crossJoin(b).where(F.col("src") < F.col("dst"))
+    return substring_edges(pairs, d, min_span=12).select("src", "dst", "lcs_len")
+
+
 # ------------------------------------------------------------ text analysis
+
+# Heuristic language-ID re-expressed as ONE pure-SQL scoring expression so
+# the driver can oracle-check it (the pandas-UDF twin in
+# sparkdedup/functions/textstats.py is asserted identical in
+# tests/test_textstats.py).  Scores: |distinct tokens ∩ stopwords| +
+# 2 * (non-overlapping regex match count); first language in declaration
+# order wins ties; all-zero -> 'und'.
+from sparkdedup.functions.textstats import _LANG_MARKERS  # noqa: E402
+
+
+def _lang_scores_spark(text_col):
+    low = F.lower(text_col)
+    toks = F.split(F.trim(low), r"\s+")
+    scores = {}
+    for lang, (stopwords, pattern) in _LANG_MARKERS.items():
+        s = F.lit(0)
+        if stopwords:
+            s = s + F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in sorted(stopwords)]))
+            )
+        s = s + F.lit(2) * F.regexp_count(low, F.lit(pattern))
+        scores[lang] = s
+    return scores
 
 
 def _text_lang_id(spark, sf_dir) -> DataFrame:
-    """Heuristic n-gram language ID as a pandas UDF (rows-only check)."""
-    from sparkdedup.functions.textstats import lang_id_udf
+    d = _t(spark, sf_dir, "documents")
+    scores = _lang_scores_spark(F.col("text"))
+    mx = F.greatest(*scores.values())
+    pick = F.when(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0, "und").when(
+        mx <= 0, "und"
+    )
+    for lang in _LANG_MARKERS:
+        pick = pick.when(scores[lang] == mx, lang)
+    return d.select("doc_id", pick.otherwise("und").alias("lang_pred"))
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", lang_id_udf(F.col("text")).alias("lang_pred")
+
+def _lang_id_oracle_sql() -> str:
+    score_exprs = []
+    for lang, (stopwords, pattern) in _LANG_MARKERS.items():
+        parts = []
+        if stopwords:
+            lst = ", ".join("'" + w + "'" for w in sorted(stopwords))
+            parts.append(
+                "len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), [" + lst + "]))"
+            )
+        parts.append(f"2 * len(regexp_extract_all(lower(text), '{pattern}'))")
+        score_exprs.append(f"({' + '.join(parts)}) AS s_{lang}")
+    langs = list(_LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 'und' WHEN " + mx + " <= 0 THEN 'und' "
+    case += " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    case += " ELSE 'und' END"
+    return (
+        "SELECT doc_id, " + case + " AS lang_pred FROM ("
+        "SELECT doc_id, text, " + ", ".join(score_exprs) + " FROM documents)"
     )
 
 
@@ -242,6 +320,15 @@ _q(
 )
 
 # --- scalar functions (SURVEY §2.3) ---
+_q(
+    "s6b_regex_search",
+    # reference parity: Series.str.contains defaults regex=True
+    # (search_page.py:51) — metacharacters in the query act as a regex
+    lambda s, d: _t(s, d, "documents")
+    .where(F.lower("text").rlike("wind.w|str..m"))
+    .select("doc_id", "n_chars"),
+    "SELECT doc_id, n_chars FROM documents WHERE regexp_matches(lower(text), 'wind.w|str..m')",
+)
 _q(
     "s6_substring_search",
     lambda s, d: _t(s, d, "documents")
@@ -486,6 +573,42 @@ _q(
     " greatest(l_partkey, l_suppkey) AS dst FROM lineitem WHERE l_partkey <> l_suppkey",
 )
 _q(
+    # T4: top-k edges by weight (ref detail_page.py:176-189 graph cap 1000)
+    "t4_topk_edges",
+    lambda s, d: _t(s, d, "lineitem")
+    .where(F.col("l_partkey") != F.col("l_suppkey"))
+    .groupBy(
+        F.least("l_partkey", "l_suppkey").alias("src"),
+        F.greatest("l_partkey", "l_suppkey").alias("dst"),
+    )
+    .agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("weight")
+    )
+    .orderBy(F.desc("weight"), F.asc("src"), F.asc("dst"))
+    .limit(1000),
+    "SELECT least(l_partkey, l_suppkey) AS src, greatest(l_partkey, l_suppkey) AS dst,"
+    " round(cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS weight"
+    " FROM lineitem WHERE l_partkey <> l_suppkey GROUP BY 1, 2"
+    " ORDER BY weight DESC, src, dst LIMIT 1000",
+)
+_q(
+    # T6: substring search results ordered by certainty desc
+    # (ref search_page.py:51-54); certainty proxy is a deterministic score
+    "t6_certainty_sort",
+    lambda s, d: _t(s, d, "documents")
+    .where(F.contains(F.lower("text"), F.lit("stream")))
+    .select(
+        "doc_id",
+        F.round(F.col("n_chars") / (F.col("n_chars") + F.lit(100.0)), 4).alias("certainty"),
+    )
+    .orderBy(F.desc("certainty"), F.asc("doc_id"))
+    .limit(50),
+    "SELECT doc_id, round(n_chars / (n_chars + 100.0), 4) AS certainty FROM documents"
+    " WHERE contains(lower(text), 'stream') ORDER BY certainty DESC, doc_id LIMIT 50",
+)
+_q(
     "a10_degree_stats",
     lambda s, d: (
         lambda pairs: pairs.select(F.col("src").alias("node"))
@@ -528,6 +651,18 @@ _q(
 _q("dedup_minhash_assignments", _dedup_assignments)  # rows-only (non-SQL)
 _q("dedup_minhash_edges", _dedup_edges)  # rows-only (non-SQL)
 _q("dedup_simhash_candidates", _dedup_simhash_candidates)  # rows-only
+_q(
+    "dedup_substring_spans",
+    _dedup_substring_spans,
+    "WITH d AS (SELECT doc_id, substr(text, 1, 160) AS t FROM documents"
+    " WHERE doc_id < 24 AND text IS NOT NULL),"
+    " p AS (SELECT a.doc_id AS src, b.doc_id AS dst, a.t AS ta, b.t AS tb"
+    " FROM d a JOIN d b ON a.doc_id < b.doc_id)"
+    " SELECT src, dst, max(l) AS lcs_len"
+    " FROM p, generate_series(1, 160) AS gi(i), generate_series(12, 160) AS gl(l)"
+    " WHERE i + l - 1 <= len(ta) AND contains(tb, substr(ta, i, l))"
+    " GROUP BY src, dst",
+)
 
 # --- similarity search ---
 _q(
@@ -539,10 +674,25 @@ _q(
     "  sqrt(list_dot_product(qv, qv))), 4) AS cos"
     " FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10",
 )
-_q("sim_lsh_ann", _sim_lsh_ann)  # rows-only
+_q(
+    "sim_lsh_ann",
+    _sim_lsh_ann,
+    # bucket bit i = sign(embedding[16i]) (1-based 16i+1 here), MSB-first
+    "WITH b AS (SELECT vec_id, embedding,"
+    + " + ".join(
+        f"(CASE WHEN embedding[{16 * i + 1}] > 0 THEN 1 ELSE 0 END) * {1 << (3 - i)}"
+        for i in range(4)
+    )
+    + " AS bucket FROM embeddings),"
+    " q AS (SELECT bucket AS qbucket, embedding::DOUBLE[] AS qv FROM b WHERE vec_id = 0)"
+    " SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /"
+    " (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *"
+    "  sqrt(list_dot_product(qv, qv))), 4) AS cos"
+    " FROM b, q WHERE bucket = qbucket AND vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10",
+)
 
-# --- text analysis (pandas-UDF based; rows-only) ---
-_q("text_lang_id", _text_lang_id)
+# --- text analysis ---
+_q("text_lang_id", _text_lang_id, _lang_id_oracle_sql())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -55,14 +55,27 @@ def main() -> None:
         "dedup_minhash_assignments",  # flagship end-to-end pipeline
     ]
 
-    timings: dict[str, float] = {}
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 
-    for name in headline:
-        t0 = time.time()
-        df = all_queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # Two passes, per-query MIN: this box fault-in-s fresh memory at
+    # ~6 MB/s until a process's page pool is warm (first-touch page
+    # faults, host-backed lazy memory), which makes single-shot walls vary
+    # up to 4x run-to-run.  The min across passes measures the engine, not
+    # the VM's memory warm-up; raw passes are reported for transparency.
+    passes: list[dict[str, float]] = []
+    for i in range(2):
+        if i:
+            # fresh compute each pass: pipeline-internal persists would
+            # otherwise serve pass 2 from cache and overstate the engine
+            spark.catalog.clearCache()
+        t: dict[str, float] = {}
+        for name in headline:
+            t0 = time.time()
+            df = all_queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t[name] = round(time.time() - t0, 3)
+        passes.append(t)
+    timings = {name: min(p[name] for p in passes) for name in headline}
 
     total = round(sum(timings.values()), 3)
     flagship = timings["dedup_minhash_assignments"]
@@ -75,6 +88,7 @@ def main() -> None:
         "cpus": int(cpus),
         "dedup_docs": n_docs,
         "dedup_docs_per_sec": round(n_docs / flagship, 1) if flagship > 0 else None,
+        "passes": passes,
     }
     print(json.dumps(out))
     spark.stop()

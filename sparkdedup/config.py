@@ -107,6 +107,20 @@ class DedupConfig:
     # log them (analogue of the reference's candidate caps, cluster_in_mem
     # .py:165 — OFF by default because it loses recall; see SURVEY §2.7 T7).
     band_drop_threshold: int | None = None
+    # Complementary SimHash pass (north_star): when set, a 64-bit SimHash
+    # is fused into the signature kernel and candidate pairs are
+    # pre-filtered on Hamming distance <= this bound BEFORE the Jaccard
+    # verify — the Hamming join carries 8-byte hashes instead of the
+    # num_perm*8-byte signature, so the full-width signature join only
+    # sees survivors.  None (default, parity mode) disables the pass;
+    # 64 makes it a provable no-op (every pair passes).
+    simhash_hamming_max: int | None = None
+    # Exact-substring stage (north_star): when set, LSH candidate pairs
+    # additionally get their longest common substring computed (suffix
+    # automaton, pairwise over the pruned candidate set) and pairs sharing
+    # a span >= this many chars are emitted as substring_edges.  None
+    # disables the stage.
+    substring_min_span: int | None = None
 
     def bands_rows(self) -> tuple[int, int]:
         return optimal_param(self.threshold, self.num_perm)

@@ -76,9 +76,15 @@ class DedupPipeline:
         return attach_signatures(
             clean, c.shingle_size, c.num_perm, c.seed,
             id_col="doc_id", text_col="clean", spread=False,
+            with_simhash=c.simhash_hamming_max is not None,
         )
 
-    def edges(self, sigs: DataFrame) -> DataFrame:
+    def pairs(self, sigs: DataFrame) -> DataFrame:
+        """LSH candidate pairs (src, dst), optionally pre-filtered by the
+        complementary SimHash pass (north_star): Hamming distance over the
+        fused 64-bit simhash column, joined narrow (8 bytes/doc vs the
+        num_perm*8-byte signature) so the expensive full-signature verify
+        join only sees pairs that survive the cheap bit filter."""
         c = self.config
         b, r = c.bands_rows()
         bands = explode_bands(sigs, b, r)
@@ -93,7 +99,23 @@ class DedupPipeline:
             salt_threshold=c.band_salt_threshold,
             drop_threshold=c.band_drop_threshold,
         )
-        return verify_pairs(pairs, sigs, c.threshold, c.num_perm)
+        if c.simhash_hamming_max is not None:
+            sh1 = sigs.select(F.col("doc_id").alias("src"), F.col("simhash").alias("_sh_src"))
+            sh2 = sigs.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("_sh_dst"))
+            pairs = (
+                pairs.join(sh1.hint("shuffle_hash"), "src")
+                .join(sh2.hint("shuffle_hash"), "dst")
+                .where(
+                    F.bit_count(F.col("_sh_src").bitwiseXOR(F.col("_sh_dst")))
+                    <= F.lit(c.simhash_hamming_max)
+                )
+                .select("src", "dst")
+            )
+        return pairs
+
+    def edges(self, sigs: DataFrame) -> DataFrame:
+        c = self.config
+        return verify_pairs(self.pairs(sigs), sigs, c.threshold, c.num_perm)
 
     def cluster(self, docs_ids: DataFrame, edges: DataFrame) -> DataFrame:
         star = connected_components(edges)
@@ -104,7 +126,8 @@ class DedupPipeline:
     def run(
         self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> dict[str, DataFrame]:
-        """Returns {'clean', 'signatures', 'edges', 'assignments'} —
+        """Returns {'clean', 'signatures', 'edges', 'assignments'} (plus
+        'substring_edges' when config.substring_min_span is set) —
         assignments has (doc_id, cluster_id, certainty)."""
         c = self.config
         # cache=True: clean feeds the signature kernel, the doc-id universe
@@ -136,7 +159,25 @@ class DedupPipeline:
         # cache=True: signatures are read three times (band explode + both
         # verify join sides)
         sigs = self.ckpt.stage("03_signatures", lambda: self.signatures(reps), cache=True)
-        edges = self.ckpt.stage("06_edges", lambda: self.edges(sigs))
+
+        if c.substring_min_span is not None:
+            # substring stage consumes the SAME candidate pairs the verify
+            # does (SURVEY §7 stage 7: pairwise over the LSH-pruned set,
+            # never corpus-global) — materialize pairs once for both
+            pairs = self.ckpt.stage("05_pairs", lambda: self.pairs(sigs), cache=True)
+            edges = self.ckpt.stage(
+                "06_edges",
+                lambda: verify_pairs(pairs, sigs, c.threshold, c.num_perm),
+            )
+            from sparkdedup.operators.substring import substring_edges as _sub_edges
+
+            substring = self.ckpt.stage(
+                "07_substring",
+                lambda: _sub_edges(pairs, clean, min_span=c.substring_min_span),
+            )
+        else:
+            substring = None
+            edges = self.ckpt.stage("06_edges", lambda: self.edges(sigs))
 
         if groups is not None:
             # expand rep-level edges back to all members; dup->rep edges at sim 1.0
@@ -165,12 +206,19 @@ class DedupPipeline:
         final = self.ckpt.stage(
             "09_final", lambda: with_certainty(assignments, all_edges)
         )
-        return {
+        out = {
             "clean": clean,
             "signatures": sigs,
             "edges": all_edges,
             "assignments": final,
         }
+        if substring is not None:
+            # additive output table (src, dst, lcs_len, lcs_frac): long
+            # exact shared spans among LSH candidates.  NOT merged into the
+            # cluster graph — assignments keep reference parity; consumers
+            # decide what a containment edge means for their dedup policy.
+            out["substring_edges"] = substring
+        return out
 
 
 def build_spark(

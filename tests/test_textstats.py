@@ -1,0 +1,95 @@
+"""Textstats vectorization parity (VERDICT r01 item 9): the batched
+kernels must be value-identical to the per-row reference implementations
+(which stay in the module as the semantic spec), and the SQL-expressible
+lang-id twin in __spark_entry__ must agree with the pandas-UDF path.
+"""
+
+import sys
+
+import pandas as pd
+import pytest
+
+from sparkdedup.functions.textstats import (
+    _BPEISH,
+    lang_id_batch,
+    lang_id_text,
+    quality_score_batch,
+    quality_score_text,
+)
+
+CASES = [
+    None,
+    "",
+    "   ",
+    "the cat and the dog sit in the house for a while",
+    "der hund und die katze sind nicht mit auf dem sofa",
+    "el perro y la casa que es en un lugar por ahora",
+    "le chien est dans la maison pour les vacances",
+    "μῆνιν ἄειδε θεὰ Πηληϊάδεω Ἀχιλῆος",
+    "这是一个中文句子用于测试语言识别",
+    "これは日本語のテストです",
+    "zzz qqq xxx www",
+    "data data data data",
+    "Mixed THE case AND punctuation!!! der?",
+    "a",
+    "tabs\tand\nnewlines the and of to",
+]
+
+
+def test_lang_id_batch_matches_scalar():
+    s = pd.Series(CASES)
+    got = lang_id_batch(s)
+    for i, t in enumerate(CASES):
+        want = "und" if t is None else lang_id_text(str(t))
+        assert got.iloc[i] == want, (i, t, got.iloc[i], want)
+
+
+def test_lang_id_batch_on_fixture_corpus():
+    from sparkdedup.io.webtext import generate_webtext
+
+    texts = generate_webtext(400, seed=11)["text"]
+    got = lang_id_batch(texts)
+    want = texts.map(lambda t: lang_id_text(str(t)))
+    assert (got == want).all()
+
+
+def test_quality_score_batch_matches_scalar():
+    from sparkdedup.io.webtext import generate_webtext
+
+    texts = list(generate_webtext(300, seed=5)["text"]) + CASES
+    s = pd.Series(texts)
+    got = quality_score_batch(s)
+    for i, t in enumerate(texts):
+        want = 0.0 if t is None else quality_score_text(str(t))
+        assert got.iloc[i] == pytest.approx(want, abs=0), (i, t)
+
+
+def test_token_count_vectorized_matches_findall():
+    texts = [t for t in CASES if t is not None] + ["a,b.c!d", "  x  "]
+    s = pd.Series(texts)
+    got = s.str.count(_BPEISH).astype("int64")
+    for i, t in enumerate(texts):
+        assert got.iloc[i] == len(_BPEISH.findall(t))
+
+
+def test_sql_lang_id_matches_udf(spark, tmp_path):
+    """__spark_entry__._text_lang_id (pure SQL, DuckDB-oracle-able) must
+    agree with the pandas-UDF twin on the documents fixture."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    from sparkdedup.functions.textstats import lang_id_udf
+    from sparkdedup.io.webtext import generate_webtext
+
+    pdf = generate_webtext(250, seed=3).reset_index().rename(columns={"index": "doc_id"})
+    p = str(tmp_path / "documents.parquet")
+    pdf[["doc_id", "text", "lang"]].to_parquet(p, index=False)
+    sql_res = {
+        r["doc_id"]: r["lang_pred"]
+        for r in em._text_lang_id(spark, str(tmp_path)).collect()
+    }
+    sdf = spark.read.parquet(p)
+    udf_res = {
+        r["doc_id"]: r["lang_pred"]
+        for r in sdf.select("doc_id", lang_id_udf("text").alias("lang_pred")).collect()
+    }
+    assert sql_res == udf_res
