@@ -218,6 +218,20 @@ def _dedup_substring_spans(spark, sf_dir) -> DataFrame:
     return substring_edges(pairs, d, min_span=12).select("src", "dst", "lcs_len")
 
 
+def _sim_ann_batch(spark, sf_dir) -> DataFrame:
+    """Batch multi-query ANN through the real index path (sparkdedup.ann):
+    sign-LSH bucket table + multi-probe (Hamming<=1) bucket join + top-k
+    window — the scale-shaped replacement for the per-query demo."""
+    from sparkdedup.ann import build_index, search
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = build_index(e, n_bits=4, dim_stride=16)
+    qs = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return search(idx, qs, k=5, n_bits=4, dim_stride=16, probes=1, dim=64)
+
+
 # ------------------------------------------------------------ text analysis
 
 # Heuristic language-ID re-expressed as ONE pure-SQL scoring expression so
@@ -689,6 +703,28 @@ _q(
     " (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *"
     "  sqrt(list_dot_product(qv, qv))), 4) AS cos"
     " FROM b, q WHERE bucket = qbucket AND vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10",
+)
+
+_q(
+    "sim_ann_batch",
+    _sim_ann_batch,
+    "WITH b AS (SELECT vec_id, embedding,"
+    " (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END"
+    "  + CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END"
+    "  + CASE WHEN embedding[33] > 0 THEN 2 ELSE 0 END"
+    "  + CASE WHEN embedding[49] > 0 THEN 1 ELSE 0 END) AS bucket FROM embeddings),"
+    " q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket"
+    " FROM b WHERE vec_id < 5),"
+    " p AS (SELECT query_id, qv, unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2),"
+    " xor(qbucket, 4), xor(qbucket, 8)]) AS bucket FROM q),"
+    " s AS (SELECT query_id, b.vec_id AS vec_id,"
+    " round(list_dot_product(b.embedding::DOUBLE[], qv::DOUBLE[]) /"
+    " (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) *"
+    "  sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos"
+    " FROM p JOIN b USING (bucket) WHERE b.vec_id <> p.query_id)"
+    " SELECT query_id, vec_id, cos, rank FROM ("
+    " SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)"
+    " AS rank FROM s) WHERE rank <= 5",
 )
 
 # --- text analysis ---

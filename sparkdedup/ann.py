@@ -1,0 +1,159 @@
+"""Approximate-nearest-neighbor search over an embedding column — the
+similarity-search component of a training-data pipeline (task brief:
+"brute-force cosine top-k as the baseline; an IVF or LSH-bucketed variant
+as the scale path").
+
+Design (scale path):
+
+  * ``build_index`` assigns every vector a sign-LSH bucket — bit i is the
+    sign of one fixed coordinate (axis-aligned hyperplanes; deterministic
+    and bit-exact across engines, so driver oracles can replicate it).
+    The "index" is just a DataFrame (vec_id, bucket, embedding): at
+    10^12 rows this is a bucketed/partitioned table, and a query touches
+    only its probed buckets — partition pruning does the work of an
+    in-memory index.
+  * ``search`` serves a BATCH of query vectors at once: queries get the
+    same bucket function, are exploded to their probe set (Hamming<=
+    ``probes`` bucket neighbors — multi-probe reduces the recall loss of
+    hard bucket boundaries), joined to the index on bucket (an equi-join
+    shuffle, not a cross join), scored with an unrolled JVM dot product,
+    and top-k'd per query with a window.
+  * ``brute_force_topk`` is the exact baseline used by tests to measure
+    recall@k.
+
+No reference equivalent (the reference searches text only); this module
+exists per the task brief's training-data-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_col(emb_col: str, n_bits: int, dim_stride: int) -> F.Column:
+    """Sign-LSH bucket from ``n_bits`` fixed coordinates (0-based index
+    i*dim_stride), MSB-first."""
+    bucket = None
+    for i in range(n_bits):
+        bit = F.when(F.expr(f"{emb_col}[{i * dim_stride}]") > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket * 2 + bit
+    return bucket.cast("long")
+
+
+def cosine_col(a: str, b: str, dim: int) -> F.Column:
+    """Unrolled cosine similarity (codegen-friendly constant indexing —
+    higher-order aggregate() runs interpreted per row)."""
+    dot = None
+    na = None
+    nb = None
+    for i in range(dim):
+        xa = F.expr(f"cast({a}[{i}] as double)")
+        xb = F.expr(f"cast({b}[{i}] as double)")
+        dot = xa * xb if dot is None else dot + xa * xb
+        na = xa * xa if na is None else na + xa * xa
+        nb = xb * xb if nb is None else nb + xb * xb
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def build_index(
+    embeddings: DataFrame,
+    n_bits: int = 8,
+    dim_stride: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, ...) -> (vec_id, bucket, embedding).
+
+    At scale, write this out partitioned/bucketed BY ``bucket`` so probe
+    joins prune partitions; here it stays a DataFrame."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        bucket_col(emb_col, n_bits, dim_stride).alias("bucket"),
+        F.col(emb_col).alias("embedding"),
+    )
+
+
+def _probe_buckets(bucket: F.Column, n_bits: int, probes: int) -> F.Column:
+    """array of bucket ids within Hamming distance <= probes (probes in
+    {0, 1} supported: exact bucket, or bucket + all single-bit flips)."""
+    cols = [bucket]
+    if probes >= 1:
+        cols += [bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+    return F.array(*cols)
+
+
+def search(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    dim_stride: int = 8,
+    probes: int = 1,
+    dim: int = 64,
+    id_col: str = "query_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN: -> (query_id, vec_id, cos, rank) with rank 1..k per
+    query.  cos is rounded to 4 decimals BEFORE ranking so near-equal
+    scores tie deterministically (vec_id break) — robust to float
+    summation-order ulps across engines (oracle comparability)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("qv"),
+        bucket_col(emb_col, n_bits, dim_stride).alias("qbucket"),
+    )
+    probed = q.select(
+        "query_id",
+        "qv",
+        F.explode(_probe_buckets(F.col("qbucket"), n_bits, probes)).alias("bucket"),
+    )
+    scored = (
+        probed.join(index, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col("embedding", "qv", dim), 4).alias("cos"),
+        )
+        # multi-probe can reach the same vec via two buckets? no — probe
+        # buckets are distinct ids and each vector lives in exactly one
+        # bucket, so (query_id, vec_id) appears at most once
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "query_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (cross join) — the correctness
+    baseline the LSH path is measured against."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qv"))
+    e = embeddings.select("vec_id", F.col(emb_col).alias("embedding"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col("embedding", "qv", dim), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

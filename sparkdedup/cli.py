@@ -32,6 +32,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--input", required=True, help="parquet path or table of documents")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--checkpoint", default=None, help="stage checkpoint dir (resumable)")
+    p.add_argument("--checkpoint-format", default="parquet",
+                   help="checkpoint table format (parquet/orc/json, or 'iceberg' "
+                        "with --checkpoint-table-prefix on a cluster with an Iceberg catalog)")
+    p.add_argument("--checkpoint-table-prefix", default=None,
+                   help="catalog.namespace for iceberg checkpoint tables")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id", help="long id column; use --id-from-url to derive")
     p.add_argument("--id-from-url", action="store_true",
@@ -55,7 +60,10 @@ def main(argv=None) -> None:
     docs = spark.read.parquet(args.input)
     id_col = args.id_col
     if args.id_from_url:
+        from sparkdedup.io.sources import check_id_collisions
+
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
+        check_id_collisions(docs)
         id_col = "doc_id"
 
     cfg = DedupConfig(
@@ -67,7 +75,9 @@ def main(argv=None) -> None:
         band_salt_threshold=args.salt_threshold,
     )
     pipe = DedupPipeline(
-        spark, cfg, checkpoint_dir=args.checkpoint, dense_labels=args.dense_labels
+        spark, cfg, checkpoint_dir=args.checkpoint, dense_labels=args.dense_labels,
+        checkpoint_format=args.checkpoint_format,
+        checkpoint_table_prefix=args.checkpoint_table_prefix,
     )
     out = pipe.run(docs, text_col=args.text_col, id_col=id_col)
 

@@ -38,6 +38,26 @@ def detect_id_column(df: DataFrame) -> str | None:
     return None
 
 
+def check_id_collisions(df: DataFrame, id_col: str = "doc_id", source_col: str = "url") -> None:
+    """Fail loudly when derived ids collide (ADVICE r01): with
+    doc_id = xxhash64(url), 64-bit birthday collisions are EXPECTED at the
+    multi-billion-doc scale this engine targets, and a collision silently
+    merges two distinct documents into one graph node, corrupting
+    clusters.  Precondition: ``source_col`` values are unique (duplicate
+    urls must be deduped upstream — they would pass this check while still
+    merging distinct page versions)."""
+    row = df.agg(
+        F.countDistinct(source_col).alias("n_src"),
+        F.countDistinct(id_col).alias("n_id"),
+    ).collect()[0]
+    if row["n_src"] != row["n_id"]:
+        raise ValueError(
+            f"doc_id collision: {row['n_src']} distinct {source_col} values map to "
+            f"{row['n_id']} distinct {id_col} values — use a wider id (e.g. two "
+            "xxhash64 salts) or dedupe the source column first"
+        )
+
+
 def read_corpus(
     spark: SparkSession,
     path: str,
@@ -64,6 +84,7 @@ def read_corpus(
         out = df.withColumn("doc_id", F.col(icol).cast("long"))
     elif "url" in df.columns:
         out = df.withColumn("doc_id", F.xxhash64("url"))
+        check_id_collisions(out)
     else:
         raise ValueError("no id column detected and no url column to derive one from")
     if tcol != "text":

@@ -39,6 +39,8 @@ class DedupPipeline:
         config: DedupConfig | None = None,
         checkpoint_dir: str | None = None,
         dense_labels: bool = False,
+        checkpoint_format: str = "parquet",
+        checkpoint_table_prefix: str | None = None,
     ):
         """dense_labels=True reproduces the reference's dense first-seen
         cluster ids (union_find.py:25-33) via a global rank — needed only
@@ -48,7 +50,10 @@ class DedupPipeline:
         cluster would be a scale hazard."""
         self.spark = spark
         self.config = config or DedupConfig()
-        self.ckpt = CheckpointManager(spark, checkpoint_dir)
+        self.ckpt = CheckpointManager(
+            spark, checkpoint_dir, fmt=checkpoint_format,
+            table_prefix=checkpoint_table_prefix,
+        )
         self.dense_labels = dense_labels
 
     # --- individual stages (public, composable) ---
@@ -130,6 +135,21 @@ class DedupPipeline:
         'substring_edges' when config.substring_min_span is set) —
         assignments has (doc_id, cluster_id, certainty)."""
         c = self.config
+        # Stamp every checkpointed stage with (config, input identity) so a
+        # resume against the same dir with a DIFFERENT config or input
+        # recomputes instead of silently reloading stale tables.
+        from dataclasses import asdict
+
+        self.ckpt.set_manifest(
+            {
+                "config": asdict(c),
+                "text_col": text_col,
+                "id_col": id_col,
+                "dense_labels": self.dense_labels,
+                "input_schema": docs.schema.simpleString(),
+                "input_files": sorted(docs.inputFiles()),
+            }
+        )
         # cache=True: clean feeds the signature kernel, the doc-id universe
         # and (optionally) the exact-dup pre-pass — the scan + preprocess
         # UDF must run once, not once per consumer

@@ -1,0 +1,82 @@
+"""ANN index tests: exactness when the probe set covers the whole space,
+multi-probe recall monotonicity, and score correctness of every returned
+neighbor against the brute-force baseline."""
+
+import numpy as np
+import pytest
+
+from sparkdedup.ann import brute_force_topk, build_index, search
+
+DIM = 64
+N = 400
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    # clustered vectors so top-k is meaningful: 20 centers + noise
+    centers = rng.randn(20, DIM).astype(np.float32)
+    rows = []
+    for i in range(N):
+        c = centers[i % 20]
+        v = (c + 0.3 * rng.randn(DIM)).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def queries(vectors):
+    from pyspark.sql import functions as F
+
+    return vectors.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _res(df):
+    return {(r["query_id"], r["rank"]): (r["vec_id"], r["cos"]) for r in df.collect()}
+
+
+def test_full_probe_equals_brute_force(spark, vectors, queries):
+    """n_bits=1, probes=1 probes BOTH buckets = the whole corpus ->
+    search must equal the exact brute-force top-k bit for bit."""
+    idx = build_index(vectors, n_bits=1, dim_stride=1)
+    got = _res(search(idx, queries, k=10, n_bits=1, dim_stride=1, probes=1, dim=DIM))
+    want = _res(brute_force_topk(vectors, queries, k=10, dim=DIM))
+    assert got == want
+
+
+def test_multiprobe_recall_monotone(spark, vectors, queries):
+    idx = build_index(vectors, n_bits=4, dim_stride=16)
+    exact = brute_force_topk(vectors, queries, k=10, dim=DIM)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(probes):
+        got = {}
+        res = search(idx, queries, k=10, n_bits=4, dim_stride=16, probes=probes, dim=DIM)
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        total = sum(len(t) for t in truth.values())
+        return hits / total
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert r1 >= 0.5  # multi-probe over 5/16 buckets of clustered data
+
+
+def test_returned_scores_are_exact(spark, vectors, queries):
+    """Every (query, neighbor) pair the index returns carries the same
+    cosine the brute-force path computes — approximation affects WHICH
+    pairs are scored, never their values."""
+    idx = build_index(vectors, n_bits=4, dim_stride=16)
+    res = search(idx, queries, k=10, n_bits=4, dim_stride=16, probes=1, dim=DIM)
+    exact_all = brute_force_topk(vectors, queries, k=N, dim=DIM)
+    truth = {(r["query_id"], r["vec_id"]): r["cos"] for r in exact_all.collect()}
+    rows = res.collect()
+    assert rows
+    for r in rows:
+        assert truth[(r["query_id"], r["vec_id"])] == r["cos"]

@@ -27,7 +27,40 @@ def test_incremental_matches_global(spark):
 
     assert got == want
 
-    # edge sets identical too
+    # edge sets identical too — and append-only state must hold NO
+    # duplicate pair rows (the O(delta) design never rewrites old edges)
     want_edges = {(r["src"], r["dst"]) for r in full["edges"].collect()}
-    got_edges = {(r["src"], r["dst"]) for r in inc.edges.collect()}
-    assert got_edges == want_edges
+    all_edge_rows = [(r["src"], r["dst"]) for r in inc.edges.collect()]
+    assert len(all_edge_rows) == len(set(all_edge_rows))
+    assert set(all_edge_rows) == want_edges
+
+
+def test_incremental_state_dir_survives_instances(spark, tmp_path):
+    """state_dir mode: deltas append to parquet; a NEW IncrementalDedup
+    over the same dir continues the run and still equals the global
+    batch result."""
+    n = 180
+    sdf = webtext_spark_df(spark, n, seed=42).localCheckpoint(eager=True)
+    cfg = DedupConfig(threshold=0.3, shingle_size=6)
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DedupPipeline(spark, cfg).run(sdf)["assignments"].collect()
+    }
+
+    sd = str(tmp_path / "state")
+    inc1 = IncrementalDedup(spark, cfg, state_dir=sd)
+    inc1.ingest_batch(sdf.where("doc_id < 60"))
+    inc1.ingest_batch(sdf.where("doc_id >= 60 and doc_id < 120"))
+
+    inc2 = IncrementalDedup(spark, cfg, state_dir=sd)  # fresh instance
+    assign = inc2.ingest_batch(sdf.where("doc_id >= 120"))
+    got = {r["doc_id"]: r["cluster_id"] for r in assign.collect()}
+
+    # min-doc-id labels on identical partitions
+    def canon(d):
+        clusters = {}
+        for doc, c in d.items():
+            clusters.setdefault(c, set()).add(doc)
+        return {frozenset(v) for v in clusters.values()}
+
+    assert canon(got) == canon(want)

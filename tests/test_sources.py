@@ -42,3 +42,20 @@ def test_read_corpus_url_derivation(spark, tmp_path):
     ).write.parquet(p)
     df = read_corpus(spark, p)
     assert df.select("doc_id").distinct().count() == 2
+
+
+def test_id_collision_check(spark):
+    from sparkdedup.io.sources import check_id_collisions
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    ok = spark.createDataFrame(
+        [("u1", 1), ("u2", 2)], "url string, doc_id long"
+    )
+    check_id_collisions(ok)  # no raise
+
+    collided = spark.createDataFrame(
+        [("u1", 1), ("u2", 1)], "url string, doc_id long"
+    )
+    with _pytest.raises(ValueError, match="collision"):
+        check_id_collisions(collided)
