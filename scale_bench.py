@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import resource
 import statistics
 import subprocess
 import sys
@@ -67,32 +66,32 @@ def worker(cpus: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(DATA)
-    # warm JVM codegen + spin up ALL python workers outside the measured
-    # window (one tiny task per core)
-    from pyspark.sql.functions import pandas_udf, col
 
-    @pandas_udf("int")
-    def _warm(s):
-        return s.str.len().astype("int32")
-
-    docs.limit(cpus * 200).repartition(cpus).select(_warm(col("text"))).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    cfg = DedupConfig(
+        threshold=0.3,
+        shingle_size=6,
+        exact_dedup_prepass=True,
+        # scale mode: balance 500-1000 buckets, drop >1000 (logged) —
+        # common-shingle junk buckets, not similarity signal
+        band_salt_threshold=500,
+        band_drop_threshold=1000,
+    )
+    # Warmup OUTSIDE the measured window: run the REAL pipeline on a small
+    # sample so every python worker faults in its numpy/kernel pages and
+    # the JVM compiles the actual codegen stages.  This box supplies fresh
+    # memory at ~6 MB/s (host-backed lazy pages) and 32 workers fault
+    # SERIALLY through one handler — without a full warmup the measurement
+    # compares page-fault storms, not the engine (local[32] pays 4x the
+    # workers' warmup of local[8]).  Steady-state throughput is the metric
+    # that matters at scale, where warmup amortizes to zero.
+    warm = docs.limit(4000)
+    DedupPipeline(spark, cfg, dense_labels=False).run(
+        warm, text_col="text", id_col="doc_id"
+    )["assignments"].write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     t0 = time.time()
-    pipe = DedupPipeline(
-        spark,
-        DedupConfig(
-            threshold=0.3,
-            shingle_size=6,
-            exact_dedup_prepass=True,
-            # scale mode: balance 500-1000 buckets, drop >1000 (logged) —
-            # common-shingle junk buckets, not similarity signal
-            band_salt_threshold=500,
-            band_drop_threshold=1000,
-        ),
-        dense_labels=False,  # scale mode: stable min-doc-id labels
-    )
+    pipe = DedupPipeline(spark, cfg, dense_labels=False)
     out = pipe.run(docs, text_col="text", id_col="doc_id")
     n_docs = out["assignments"].count()
     n_edges = out["edges"].count()
@@ -113,17 +112,19 @@ def worker(cpus: int) -> None:
     spark.stop()
 
 
-def _steal_snapshot() -> tuple[int, int]:
+def _cpu_snapshot() -> tuple[float, float, float]:
+    """(busy_sec, steal_sec, total_sec) across all cores from /proc/stat."""
     with open("/proc/stat") as f:
-        parts = f.readline().split()[1:]
-    vals = [int(x) for x in parts]
-    steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+        vals = [int(x) for x in f.readline().split()[1:]]
+    hz = float(os.sysconf("SC_CLK_TCK"))
+    idle = (vals[3] + vals[4]) / hz  # idle + iowait
+    steal = (vals[7] if len(vals) > 7 else 0) / hz
+    total = sum(vals) / hz
+    return total - idle, steal, total
 
 
 def _one_run(cpus: int) -> dict:
-    s0, t0 = _steal_snapshot()
-    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    b0, s0, t0 = _cpu_snapshot()
     w0 = time.time()
     proc = subprocess.run(
         [sys.executable, __file__, "--worker", str(cpus)],
@@ -132,16 +133,19 @@ def _one_run(cpus: int) -> dict:
         cwd=ROOT,
     )
     w1 = time.time()
-    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
-    s1, t1 = _steal_snapshot()
+    b1, s1, t1 = _cpu_snapshot()
     line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
-    cpu_sec = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
-    res["cpu_sec"] = round(cpu_sec, 1)
-    # utilization over the whole subprocess (incl. JVM startup) vs cpus
-    res["cpu_util"] = round(cpu_sec / max(w1 - w0, 1e-9) / cpus, 3)
-    res["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    # whole-box CPU over the subprocess window (quiet box => the job's
+    # CPU, JVM included — RUSAGE_CHILDREN misses un-reaped JVM trees)
+    res["cpu_sec"] = round(b1 - b0, 1)
+    res["cpu_util"] = round((b1 - b0) / max(w1 - w0, 1e-9) / cpus, 3)
+    res["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1e-9), 2)
     print(json.dumps(res), flush=True)
+    # durable per-run record: a killed harness must not lose finished runs
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(ROOT, "BENCH", "scale_runs.jsonl"), "a") as f:
+        f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **res}) + "\n")
     return res
 
 

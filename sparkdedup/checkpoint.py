@@ -118,20 +118,23 @@ class CheckpointManager:
         else:
             df.write.mode("overwrite").format(self.fmt).save(self._path(stage))
 
-    def stage(self, name: str, build, cache: bool = False) -> DataFrame:
+    def stage(self, name: str, build, cache: bool = False, cut: bool = False) -> DataFrame:
         """Materialize ``build()`` as checkpoint table ``name`` (or reload
         if already committed WITH a matching manifest) and record lineage
         metrics.
 
-        Without a checkpoint root, stages are NOT eagerly materialized —
-        a one-shot linear run flows as a single Spark job (eager per-stage
-        localCheckpoints cost one job each; at small inputs that fixed
-        overhead dominated the round-1 flagship).  ``cache=True`` marks
-        stages consumed more than once downstream for a lazy ``persist()``
-        (populated by the first action, no extra job).  The iterative CC
-        loop cuts its own lineage internally."""
+        Without a checkpoint root: ``cache=True`` marks stages consumed
+        more than once downstream for a lazy ``persist()`` (populated by
+        the first action, no extra job); ``cut=True`` eagerly
+        localCheckpoints — one extra job that CUTS the logical plan, so
+        downstream AQE materializations re-analyze a leaf instead of the
+        whole pipeline tree (measured: a fully fused 50k-doc plan spent
+        ~70 s in driver replans + duplicated AQE stages vs ~0 when cut at
+        the signature/pair boundaries).  Plain lazy otherwise."""
         if self.root is None:
             df = build()
+            if cut:
+                return df.localCheckpoint(eager=True)
             return df.persist() if cache else df
         if self._committed(name):
             if self._manifest_matches(name):

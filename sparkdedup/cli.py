@@ -49,7 +49,16 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--dense-labels", action="store_true",
                    help="reference-parity dense cluster ids (needs a global rank; "
                         "default = stable min-doc-id labels, the web-scale choice)")
-    p.add_argument("--salt-threshold", type=int, default=2000)
+    p.add_argument("--salt-threshold", type=int, default=512)
+    p.add_argument("--drop-threshold", type=int, default=None,
+                   help="drop (and log) band buckets larger than this — the only "
+                        "recall-losing knob, OFF by default")
+    p.add_argument("--simhash-hamming-max", type=int, default=None,
+                   help="enable the complementary SimHash pass: pre-filter candidate "
+                        "pairs at Hamming distance <= this before the Jaccard verify")
+    p.add_argument("--substring-min-span", type=int, default=None,
+                   help="enable the exact-substring stage: emit substring_edges for "
+                        "LSH candidate pairs sharing an exact span >= this many chars")
     return p.parse_args(argv)
 
 
@@ -73,6 +82,9 @@ def main(argv=None) -> None:
         preprocess=dict(PREPROCESS_FULL if args.preprocess == "full" else PREPROCESS_NONE),
         exact_dedup_prepass=args.exact_prepass,
         band_salt_threshold=args.salt_threshold,
+        band_drop_threshold=args.drop_threshold,
+        simhash_hamming_max=args.simhash_hamming_max,
+        substring_min_span=args.substring_min_span,
     )
     pipe = DedupPipeline(
         spark, cfg, checkpoint_dir=args.checkpoint, dense_labels=args.dense_labels,
@@ -83,6 +95,10 @@ def main(argv=None) -> None:
 
     out["assignments"].write.mode("overwrite").parquet(os.path.join(args.output, "assignments"))
     out["edges"].write.mode("overwrite").parquet(os.path.join(args.output, "edges"))
+    if "substring_edges" in out:
+        out["substring_edges"].write.mode("overwrite").parquet(
+            os.path.join(args.output, "substring_edges")
+        )
     summary = {
         "docs": out["assignments"].count(),
         "edges": out["edges"].count(),

@@ -167,7 +167,8 @@ class DedupPipeline:
                 # exactly when the pre-pass matters most (web scale)
                 return hashed.join(reps_by_hash, "_h").select("rep", "doc_id")
 
-            groups = self.ckpt.stage("02_exact_groups", _exact_groups)
+            # cache=True: groups feeds both the reps filter and dup_edges
+            groups = self.ckpt.stage("02_exact_groups", _exact_groups, cache=True)
             reps = clean.join(
                 groups.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
                 "doc_id",
@@ -176,19 +177,25 @@ class DedupPipeline:
             groups = None
             reps = clean
 
-        # cache=True: signatures are read three times (band explode + both
-        # verify join sides)
-        sigs = self.ckpt.stage("03_signatures", lambda: self.signatures(reps), cache=True)
+        # cut=True: signatures are read three times (band explode + both
+        # verify join sides) AND everything python-expensive sits above
+        # them — the eager cut keeps every downstream AQE materialization
+        # re-analyzing a leaf, not the scan->UDF tree
+        sigs = self.ckpt.stage("03_signatures", lambda: self.signatures(reps), cut=True)
+
+        # pairs are always materialized at a plan cut: the window + explode
+        # + salted-union subtree otherwise re-enters every AQE replan of
+        # the verify plan (measured ~70 s of driver/duplicated-stage
+        # overhead at 50k docs when fully fused)
+        pairs = self.ckpt.stage("05_pairs", lambda: self.pairs(sigs), cut=True)
+        edges = self.ckpt.stage(
+            "06_edges", lambda: verify_pairs(pairs, sigs, c.threshold, c.num_perm)
+        )
 
         if c.substring_min_span is not None:
             # substring stage consumes the SAME candidate pairs the verify
             # does (SURVEY §7 stage 7: pairwise over the LSH-pruned set,
-            # never corpus-global) — materialize pairs once for both
-            pairs = self.ckpt.stage("05_pairs", lambda: self.pairs(sigs), cache=True)
-            edges = self.ckpt.stage(
-                "06_edges",
-                lambda: verify_pairs(pairs, sigs, c.threshold, c.num_perm),
-            )
+            # never corpus-global)
             from sparkdedup.operators.substring import substring_edges as _sub_edges
 
             substring = self.ckpt.stage(
@@ -197,7 +204,6 @@ class DedupPipeline:
             )
         else:
             substring = None
-            edges = self.ckpt.stage("06_edges", lambda: self.edges(sigs))
 
         if groups is not None:
             # expand rep-level edges back to all members; dup->rep edges at sim 1.0
