@@ -61,8 +61,14 @@ def worker(cpus: int) -> None:
     from sparkdedup.config import DedupConfig
     from sparkdedup.pipeline import DedupPipeline, build_spark
 
+    # driver_mem 16g, deliberately NOT larger: this host supplies fresh
+    # pages at ~6 MB/s with kernel compaction charged to the faulting
+    # threads — a 48g heap let the 32-thread JVM balloon to ~27 GB RSS and
+    # grind at system:user 30:1 (measured).  16g comfortably fits the
+    # 300k-doc working set and keeps committed heap (and faults) bounded.
     spark = build_spark(
-        app=f"scale-bench-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        app=f"scale-bench-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2, driver_mem="16g",
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(DATA)
