@@ -232,6 +232,42 @@ def _sim_ann_batch(spark, sf_dir) -> DataFrame:
     return search(idx, qs, k=5, n_bits=4, dim_stride=16, probes=1, dim=64)
 
 
+# --------------------------------------------------------------- multimodal
+
+
+def _media_metadata(spark, sf_dir) -> DataFrame:
+    """Multimodal metadata operators (sparkdedup.multimodal) over a binary
+    payload column synthesized deterministically from documents: an
+    ASCII magic prefix keyed by doc_id % 4 + the utf-8 text — exercising
+    byte length, sha256, and the vectorized mime sniff end-to-end."""
+    from sparkdedup.multimodal import media_metadata
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("GIF87a"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("RIFF"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("ID3"))
+        .otherwise(F.lit("<!DOCTYPE html>"))
+    )
+    payload = F.encode(F.concat(magic, F.col("text")), "UTF-8")
+    out = media_metadata(d.select("doc_id", payload.alias("payload")), "payload")
+    return out.select("doc_id", "media_bytes", "media_sha256", "media_mime")
+
+
+# DuckDB 1.0 sha256() is VARCHAR-only; the payload is utf-8 text, so
+# hashing the string is byte-identical to hashing encode(string)
+_MEDIA_ORACLE = (
+    "WITH p AS (SELECT doc_id, CASE doc_id % 4"
+    " WHEN 0 THEN 'GIF87a' WHEN 1 THEN 'RIFF' WHEN 2 THEN 'ID3'"
+    " ELSE '<!DOCTYPE html>' END || text AS payload FROM documents"
+    " WHERE text IS NOT NULL)"
+    " SELECT doc_id, octet_length(encode(payload)) AS media_bytes,"
+    " sha256(payload) AS media_sha256,"
+    " CASE doc_id % 4 WHEN 0 THEN 'image/gif' WHEN 1 THEN 'audio/wav'"
+    " WHEN 2 THEN 'audio/mpeg' ELSE 'text/html' END AS media_mime FROM p"
+)
+
+
 # ------------------------------------------------------------ text analysis
 
 # Heuristic language-ID re-expressed as ONE pure-SQL scoring expression so
@@ -645,6 +681,42 @@ _q(
     " GROUP BY node",
 )
 
+_q(
+    # A11: graph density scalar (ref detail_page.py:295-299 nx.density) +
+    # node/edge counts over the same canonical pair table as t8/a10
+    "a11_graph_density",
+    lambda s, d: (
+        lambda pairs: pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+            pairs.select(F.col("src").alias("node"))
+            .unionAll(pairs.select(F.col("dst").alias("node")))
+            .agg(F.countDistinct("node").alias("n_nodes"))
+        ).select(
+            "n_nodes",
+            "n_edges",
+            F.round(
+                F.lit(2.0) * F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+                6,
+            ).alias("density"),
+        )
+    )(
+        _t(s, d, "lineitem")
+        .where(F.col("l_partkey") != F.col("l_suppkey"))
+        .select(
+            F.least("l_partkey", "l_suppkey").alias("src"),
+            F.greatest("l_partkey", "l_suppkey").alias("dst"),
+        )
+        .distinct()
+    ),
+    "WITH pairs AS (SELECT DISTINCT least(l_partkey, l_suppkey) AS src,"
+    " greatest(l_partkey, l_suppkey) AS dst FROM lineitem WHERE l_partkey <> l_suppkey),"
+    " e AS (SELECT count(*) AS n_edges FROM pairs),"
+    " n AS (SELECT count(DISTINCT node) AS n_nodes FROM ("
+    " SELECT src AS node FROM pairs UNION ALL SELECT dst AS node FROM pairs))"
+    " SELECT n_nodes, n_edges,"
+    " round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6) AS density FROM e, n",
+)
+
 # --- dedup family (core engine + training-data extensions) ---
 _q(
     "dedup_exact",
@@ -662,9 +734,29 @@ _q(
     " len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard"
     " FROM g a, g b WHERE a.doc_id < b.doc_id",
 )
-_q("dedup_minhash_assignments", _dedup_assignments)  # rows-only (non-SQL)
-_q("dedup_minhash_edges", _dedup_edges)  # rows-only (non-SQL)
-_q("dedup_simhash_candidates", _dedup_simhash_candidates)  # rows-only
+# MinHash/SimHash expected outputs are precomputed into fixture parquet by
+# INDEPENDENT implementations (tools/gen_expected_fixtures.py: tests/oracle.py
+# reference-parity loop for MinHash; from-the-spec scalar SimHash + brute-force
+# all-pairs scan) — the oracle is then a plain SELECT, giving the engine core
+# full rows+schema+value-hash coverage instead of rows-only.
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+_q(
+    "dedup_minhash_assignments",
+    _dedup_assignments,
+    "SELECT doc_id, cluster_id, certainty FROM read_parquet("
+    f"'{_FIXTURES}/expected_minhash_assignments.parquet')",
+)
+_q(
+    "dedup_minhash_edges",
+    _dedup_edges,
+    f"SELECT src, dst, sim FROM read_parquet('{_FIXTURES}/expected_minhash_edges.parquet')",
+)
+_q(
+    "dedup_simhash_candidates",
+    _dedup_simhash_candidates,
+    "SELECT src, dst, hamming FROM read_parquet("
+    f"'{_FIXTURES}/expected_simhash_candidates.parquet')",
+)
 _q(
     "dedup_substring_spans",
     _dedup_substring_spans,
@@ -729,6 +821,9 @@ _q(
 
 # --- text analysis ---
 _q("text_lang_id", _text_lang_id, _lang_id_oracle_sql())
+
+# --- multimodal metadata ---
+_q("media_metadata", _media_metadata, _MEDIA_ORACLE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_dims(n_bits: int, dim_stride: int, dim: int | None) -> None:
+    """The highest probed coordinate must exist: out-of-range array
+    indexing yields NULL in Spark, NULL > 0 is false, so the affected bits
+    would silently read 0 for EVERY vector — buckets degenerate and the
+    LSH path quietly loses selectivity instead of failing."""
+    if dim is not None and (n_bits - 1) * dim_stride >= dim:
+        raise ValueError(
+            f"(n_bits-1)*dim_stride = {(n_bits - 1) * dim_stride} must be < "
+            f"dim ({dim}): bucket bit {n_bits - 1} would index past the "
+            "embedding and silently read as 0"
+        )
+
+
 def bucket_col(emb_col: str, n_bits: int, dim_stride: int) -> F.Column:
     """Sign-LSH bucket from ``n_bits`` fixed coordinates (0-based index
     i*dim_stride), MSB-first."""
@@ -64,11 +77,16 @@ def build_index(
     dim_stride: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, ...) -> (vec_id, bucket, embedding).
 
+    Pass ``dim`` to validate that every bucket bit indexes a real
+    coordinate (strongly recommended — see ``_check_dims``).
+
     At scale, write this out partitioned/bucketed BY ``bucket`` so probe
     joins prune partitions; here it stays a DataFrame."""
+    _check_dims(n_bits, dim_stride, dim)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         bucket_col(emb_col, n_bits, dim_stride).alias("bucket"),
@@ -77,11 +95,18 @@ def build_index(
 
 
 def _probe_buckets(bucket: F.Column, n_bits: int, probes: int) -> F.Column:
-    """array of bucket ids within Hamming distance <= probes (probes in
-    {0, 1} supported: exact bucket, or bucket + all single-bit flips)."""
+    """array of all bucket ids within Hamming distance <= ``probes`` of
+    the query bucket: every combination of <= probes bit flips, as XOR
+    masks (sum_{d<=probes} C(n_bits, d) buckets)."""
+    from itertools import combinations
+
     cols = [bucket]
-    if probes >= 1:
-        cols += [bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+    for d in range(1, min(probes, n_bits) + 1):
+        for flips in combinations(range(n_bits), d):
+            mask = 0
+            for j in flips:
+                mask |= 1 << j
+            cols.append(bucket.bitwiseXOR(F.lit(mask)))
     return F.array(*cols)
 
 
@@ -99,7 +124,16 @@ def search(
     """Batch ANN: -> (query_id, vec_id, cos, rank) with rank 1..k per
     query.  cos is rounded to 4 decimals BEFORE ranking so near-equal
     scores tie deterministically (vec_id break) — robust to float
-    summation-order ulps across engines (oracle comparability)."""
+    summation-order ulps across engines (oracle comparability).
+
+    Recall/cost tradeoff: each extra probe level multiplies the candidate
+    set (probe buckets: 1, 1+n_bits, 1+n_bits+C(n_bits,2), ...) and
+    monotonically raises recall vs ``brute_force_topk``.  Measured
+    recall@10 on the sf0.1 embeddings (2000 vecs, n_bits=4, dim_stride=16):
+    see BENCH/BASELINE.md §ANN and tests/test_ann.py
+    ``test_multiprobe_recall_curve`` (probes 0 -> 1 -> 2 must be
+    monotone; full-probe == brute force exactly)."""
+    _check_dims(n_bits, dim_stride, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("qv"),

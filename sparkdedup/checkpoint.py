@@ -118,6 +118,17 @@ class CheckpointManager:
         else:
             df.write.mode("overwrite").format(self.fmt).save(self._path(stage))
 
+    def _invalidate(self, stage: str) -> None:
+        """Remove a stage's manifest sidecar and table so a crash mid-
+        recompute can never leave new data stamped with an old manifest.
+        Iceberg tables replace atomically via createOrReplace, so only the
+        sidecar needs removal there."""
+        mp = self._manifest_path(stage)
+        if os.path.exists(mp):
+            os.remove(mp)
+        if self.fmt != "iceberg":
+            shutil.rmtree(self._path(stage), ignore_errors=True)
+
     def stage(self, name: str, build, cache: bool = False, cut: bool = False) -> DataFrame:
         """Materialize ``build()`` as checkpoint table ``name`` (or reload
         if already committed WITH a matching manifest) and record lineage
@@ -150,6 +161,15 @@ class CheckpointManager:
                     }
                 ]
             )
+            # Crash-safe invalidate-write-stamp: remove the stale sidecar
+            # AND table BEFORE the rewrite.  Otherwise a crash between the
+            # table overwrite and the new manifest write leaves a
+            # _SUCCESS-committed table holding NEW-config data stamped with
+            # the OLD fingerprint — a later resume with the old config
+            # would silently reload wrong data.  (Also covers manifest-less
+            # recomputes, which would otherwise leave the old sidecar
+            # permanently desynced from the table.)
+            self._invalidate(name)
         t0 = time.time()
         df = build()
         self._write(df, name)

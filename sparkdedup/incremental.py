@@ -17,6 +17,16 @@ the shuffle analogue of "query the index"), verified, and APPENDED:
     batch.  Batch k costs O(delta_k + touched-bands), not O(total) — the
     round-1 design re-unioned and re-checkpointed the FULL state every
     batch, a quadratic rewrite over a run (VERDICT r01 "what's wrong" 6).
+  * Clustering is ALSO O(delta): new edges are contracted onto the prior
+    cluster labels (min-doc-id labels are stable under merges), connected
+    components runs over that contracted delta graph only, and the
+    resulting label remap — one small row per touched prior cluster — is
+    broadcast-joined back onto the prior assignments.  The only O(total)
+    work per batch is emitting the full updated assignment view itself
+    (which is the return value); no CC iteration ever touches old edges
+    again.  A FRESH instance resuming from ``state_dir`` rebuilds its
+    assignment state with one global CC on its first ingest, then
+    increments.
   * Candidate pairs are pruned to those touching >= 1 NEW doc: an old-old
     pair inside a touched band shared that band when both docs were
     ingested, so it was emitted by an earlier batch — appending only
@@ -75,6 +85,10 @@ class IncrementalDedup:
         self.pipe = DedupPipeline(spark, self.config)
         self.state_dir = state_dir
         self._deltas: dict[str, list[DataFrame]] = {t: [] for t in self._TABLES}
+        # materialized (doc_id, cluster_id) from the previous ingest; None
+        # until the first ingest (or on a fresh instance resuming from
+        # state_dir — rebuilt by one global CC on its first batch)
+        self._assignments: DataFrame | None = None
         self.n_batches = 0
         if state_dir is not None:
             for t in self._TABLES:
@@ -154,11 +168,74 @@ class IncrementalDedup:
 
         all_sigs = self._append("signatures", new_sigs)
         self._append("bands", new_bands)
-        new_edges = verify_pairs(pairs, all_sigs, c.threshold, c.num_perm)
+        had_prior_edges = self._table("edges") is not None
+        new_edges = verify_pairs(
+            pairs, all_sigs, c.threshold, c.num_perm
+        ).localCheckpoint(eager=True)
         edges = self._append("edges", new_edges)
         self.n_batches += 1
 
-        star = connected_components(edges)
-        return assignments_from_components(
-            all_sigs.select("doc_id"), star, dense=False
+        prior = self._assignments
+        if prior is None and had_prior_edges:
+            # fresh instance resuming from persisted state: rebuild the
+            # assignment state once with a global CC, then increment
+            star = connected_components(edges)
+            assign = assignments_from_components(
+                all_sigs.select("doc_id"), star, dense=False
+            )
+        elif prior is None:
+            star = connected_components(new_edges)
+            assign = assignments_from_components(
+                all_sigs.select("doc_id"), star, dense=False
+            )
+        else:
+            assign = self._incremental_assignments(prior, new_edges, new_sigs)
+        self._assignments = assign.localCheckpoint(eager=True)
+        return self._assignments
+
+    def _incremental_assignments(
+        self, prior: DataFrame, new_edges: DataFrame, new_sigs: DataFrame
+    ) -> DataFrame:
+        """O(delta) clustering: contract new edges onto prior cluster
+        labels, CC over the contracted delta graph only, broadcast the
+        label remap back.
+
+        Why contraction is exact: prior labels are component MINIMUM doc
+        ids (dense labels are a parity-test-only mode), so an old cluster
+        behaves exactly like one node carrying its min id; merging
+        clusters/new docs via CC over (label | new_doc) nodes yields the
+        true new min for every merged component.  Every new edge has >= 1
+        NEW endpoint (old-old pairs are pruned at candidate time), so old
+        labels only ever connect THROUGH new docs — the contracted graph
+        is O(delta)."""
+        from pyspark.sql import functions as F
+
+        m_src = prior.select(
+            F.col("doc_id").alias("src"), F.col("cluster_id").alias("_src_c")
         )
+        m_dst = prior.select(
+            F.col("doc_id").alias("dst"), F.col("cluster_id").alias("_dst_c")
+        )
+        contracted = (
+            new_edges.select("src", "dst")
+            .join(m_src, "src", "left")
+            .join(m_dst, "dst", "left")
+            .select(
+                F.coalesce("_src_c", "src").alias("src"),
+                F.coalesce("_dst_c", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        star = connected_components(contracted)  # (doc_id=label|new_doc, root)
+        # old labels can only collide with prior cluster_ids (doc ids are
+        # globally unique), so this join remaps exactly the touched clusters
+        remap = star.select(F.col("doc_id").alias("cluster_id"), "root")
+        updated_old = prior.join(F.broadcast(remap), "cluster_id", "left").select(
+            "doc_id", F.coalesce("root", "cluster_id").alias("cluster_id")
+        )
+        new_assign = (
+            new_sigs.select("doc_id")
+            .join(F.broadcast(star), "doc_id", "left")
+            .select("doc_id", F.coalesce("root", "doc_id").alias("cluster_id"))
+        )
+        return updated_old.unionByName(new_assign)

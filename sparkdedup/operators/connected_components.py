@@ -85,10 +85,20 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     # overhead per round (localCheckpoint materialization bypasses AQE's
     # partition coalescing).  ~150k edges per reducer; large edge sets keep
     # the session's configured fan-out unchanged.
+    # NOTE: this loop set-and-restores two session-global confs.  That is
+    # correct for the single-threaded pipeline; running OTHER queries
+    # concurrently on the same SparkSession during the loop would see the
+    # reduced parallelism — callers needing concurrency should pass edges
+    # from a dedicated spark.newSession().
     spark = edges.sparkSession
     orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
     orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    target = max(2, min(int(orig_parts), prev[0] // 150_000 + 1))
+    try:
+        base_parts = int(orig_parts)
+    except (TypeError, ValueError):
+        # non-numeric conf (e.g. "auto" on some platforms)
+        base_parts = spark.sparkContext.defaultParallelism
+    target = max(2, min(base_parts, prev[0] // 150_000 + 1))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
         # AQE off for the loop: each round is a fixed shape of small

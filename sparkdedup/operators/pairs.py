@@ -9,20 +9,30 @@ uncapped equivalent of the reference's LSH query loops
 
 Scale shape: a plain band self-join degrades quadratically on hot bands
 (common boilerplate at web scale — the reference has no defense beyond its
-recall-losing candidate caps).  We split by measured band size:
+recall-losing candidate caps).  ONE unified, joinless, union-free path
+handles both regimes via triangle salting with a size-adaptive cell count:
 
-  * cold bands (size <= salt_threshold): group members per band (no join
-    — the sizing window already partitioned by band_key) and explode the
-    C(g,2) pairs from a bounded in-group array.
-  * hot bands: balanced triangle replication — each member lands in a salt
-    cell c = xxhash64(doc_id) mod S with S = ceil(size / salt_threshold),
-    is replicated to every cell-pair (min(c,d), max(c,d)), and a pair is
-    emitted only in the unique bucket (min(c_x,c_y), max(c_x,c_y)).  Every
-    join bucket holds <= ~2*salt_threshold rows regardless of band size;
-    pair coverage is exact (no recall loss), cost is an S-fold replication
-    of hot-band rows only.
+  * every member of a band of measured size g lands in a salt cell
+    c = xxhash64(doc_id) mod S with S = ceil(g / salt_threshold), and is
+    replicated to every cell-pair bucket (min(c,d), max(c,d)), d < S.
+  * pairs are generated per (band_key, ci, cj) bucket from a bounded
+    collect_list array by a codegen'd explode expression; a pair (x, y) is
+    emitted only in its unique home bucket (min(c_x,c_y), max(c_x,c_y)),
+    so coverage is exact (no recall loss) with no duplicate emission.
+  * cold bands (g <= salt_threshold) get S = 1: a single (0, 0) bucket,
+    zero replication — identical cost to a plain per-band group-explode.
+    Hot bands pay an S-fold replication of their own rows only, and every
+    bucket holds <= ~2*salt_threshold members regardless of band size.
   * optional drop_threshold: bands larger still are dropped outright and
     counted (the only recall-losing knob; OFF by default).
+
+The single code path is deliberate: a cold∪hot ``unionByName`` of two
+branches sharing the sized-bands lineage trips a Spark 4.x optimizer
+failure (``UnionBase.rewriteConstraints`` AttributeMap "key not found")
+when constraint propagation rewrites the branches' self-referencing
+attributes — on a *vanilla* session with default confs the whole pipeline
+crashed.  With no Union in the plan the bug cannot fire, and no session
+workaround conf is needed (regression: tests/test_vanilla_session.py).
 """
 
 from __future__ import annotations
@@ -109,36 +119,16 @@ def candidate_pairs(
     if salt_threshold is None:
         return _pairs_from_join(sized, sized, ["band_key"]).select("src", "dst").distinct()
 
-    cold = sized.where(F.col("band_size") <= F.lit(salt_threshold))
-    # Cold-band pairing WITHOUT a join: the window output is already
-    # hash-partitioned by band_key, so this groupBy adds NO exchange; the
-    # C(g,2) pairs are generated by a codegen'd array expression and
-    # exploded.  The transient pair array is bounded by C(salt_threshold,2)
-    # (hot bands went to the salted branch), so no fat-row hazard.  vs the
-    # previous band self-join this removes two shuffles and the hash-map
-    # build from the dominant path.
-    members = cold.groupBy("band_key").agg(F.collect_list("doc_id").alias("ms"))
-    # inner struct fields deliberately NOT named src/dst: aliases born
-    # inside a lambda can collide with the outer plan's attributes during
-    # optimization (Catalyst "key not found" failures on self-referencing
-    # plans)
-    pair_arr = F.expr(
-        "flatten(transform(ms, (x, i) ->"
-        " transform(slice(ms, i + 2, size(ms) - i - 1),"
-        " y -> struct(least(x, y) as lo, greatest(x, y) as hi))))"
-    )
-    cold_pairs = members.select(F.explode(pair_arr).alias("p")).select(
-        F.col("p.lo").alias("src"), F.col("p.hi").alias("dst")
-    )
-
-    hot = sized.where(F.col("band_size") > F.lit(salt_threshold))
-
-    s_cells = F.ceil(F.col("band_size") / F.lit(salt_threshold)).cast("int")
-    hot = hot.withColumn("n_cells", s_cells).withColumn(
-        "cell", F.pmod(F.xxhash64("doc_id"), F.col("n_cells")).cast("int")
-    )
-    # replicate each member to every cell-pair bucket it can meet a partner in
-    repl = hot.select(
+    # Unified salted group-explode — no join, no Union (see module doc).
+    # n_cells = 1 for cold bands, so the dominant path is a zero-replication
+    # single-bucket group-explode; hot bands fan out into bounded cell-pair
+    # buckets.
+    cells = sized.withColumn(
+        "n_cells", F.ceil(F.col("band_size") / F.lit(salt_threshold)).cast("int")
+    ).withColumn("cell", F.pmod(F.xxhash64("doc_id"), F.col("n_cells")).cast("int"))
+    # replicate each member to every cell-pair bucket it can meet a partner
+    # in; for n_cells = 1 this is exactly one (0, 0) row per member
+    repl = cells.select(
         "band_key",
         "doc_id",
         "cell",
@@ -149,20 +139,31 @@ def candidate_pairs(
         "cell",
         F.least("cell", "other").alias("ci"),
         F.greatest("cell", "other").alias("cj"),
-    ).distinct()
-    j = (
-        repl.select("band_key", "ci", "cj", F.col("doc_id").alias("src"), F.col("cell").alias("src_cell"))
-        .join(
-            repl.select("band_key", "ci", "cj", F.col("doc_id").alias("dst"), F.col("cell").alias("dst_cell")),
-            ["band_key", "ci", "cj"],
-        )
-        .where(F.col("src") < F.col("dst"))
-        # emit each pair only in its unique home bucket
-        .where(
-            (F.col("ci") == F.least("src_cell", "dst_cell"))
-            & (F.col("cj") == F.greatest("src_cell", "dst_cell"))
+    )
+    # The window output is hash-partitioned by band_key, and band_key is a
+    # subset of the group keys, so this groupBy adds NO exchange.  Each
+    # bucket's member array is bounded by ~2*salt_threshold (hot bands were
+    # split into cells), so no fat-row hazard.
+    members = repl.groupBy("band_key", "ci", "cj").agg(
+        F.collect_list(F.struct(F.col("doc_id").alias("d"), F.col("cell").alias("c"))).alias(
+            "ms"
         )
     )
-    return cold_pairs.select("src", "dst").unionByName(
-        j.select("src", "dst")
-    ).distinct()
+    # C(g,2) in-bucket pairs via a codegen'd array expression; the inner
+    # home-bucket filter makes each unordered pair surface exactly once
+    # globally.  Struct fields deliberately NOT named src/dst: aliases born
+    # inside a lambda can collide with the outer plan's attributes during
+    # optimization (Catalyst "key not found" failures on self-referencing
+    # plans).
+    pair_arr = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform("
+        "  filter(slice(ms, i + 2, size(ms) - i - 1),"
+        "   y -> least(x.c, y.c) = ci AND greatest(x.c, y.c) = cj),"
+        "  y -> struct(least(x.d, y.d) as lo, greatest(x.d, y.d) as hi))))"
+    )
+    return (
+        members.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.lo").alias("src"), F.col("p.hi").alias("dst"))
+        .distinct()
+    )

@@ -15,6 +15,8 @@ config — verified against tests/oracle.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,6 +32,27 @@ from sparkdedup.operators.connected_components import (
 )
 from sparkdedup.operators.pairs import candidate_pairs
 from sparkdedup.operators.verify import verify_pairs
+
+
+def _input_content_signal(docs: DataFrame) -> list | int:
+    """Cheap input-identity signal for the checkpoint manifest (no Spark
+    job).  File sources: sorted (path, size, mtime) triples — local stat
+    where possible, path-only for remote filesystems (hdfs://, s3://...)
+    where the snapshot identity is the path list.  In-memory inputs (no
+    inputFiles): the canonicalized logical-plan semantic hash, which folds
+    in LocalRelation data."""
+    files = sorted(docs.inputFiles())
+    if not files:
+        return docs.semanticHash()
+    out = []
+    for f in files:
+        local = f[7:] if f.startswith("file://") else f
+        try:
+            st = os.stat(local)
+            out.append([f, st.st_size, int(st.st_mtime)])
+        except OSError:
+            out.append([f, None, None])
+    return out
 
 
 class DedupPipeline:
@@ -133,7 +156,25 @@ class DedupPipeline:
     ) -> dict[str, DataFrame]:
         """Returns {'clean', 'signatures', 'edges', 'assignments'} (plus
         'substring_edges' when config.substring_min_span is set) —
-        assignments has (doc_id, cluster_id, certainty)."""
+        assignments has (doc_id, cluster_id, certainty).
+
+        Set-and-restores spark.sql.constraintPropagation.enabled=false for
+        the duration (PERF only — see build_spark): the eager stage cuts
+        inside run() are where the huge unrolled plans get optimized, so a
+        vanilla session gets the fast path without any session tuning.
+        Results are identical either way (tests/test_vanilla_session.py
+        runs with the conf forced ON)."""
+        _CP = "spark.sql.constraintPropagation.enabled"
+        orig_cp = self.spark.conf.get(_CP)
+        self.spark.conf.set(_CP, "false")
+        try:
+            return self._run(docs, text_col, id_col)
+        finally:
+            self.spark.conf.set(_CP, orig_cp)
+
+    def _run(
+        self, docs: DataFrame, text_col: str, id_col: str
+    ) -> dict[str, DataFrame]:
         c = self.config
         # Stamp every checkpointed stage with (config, input identity) so a
         # resume against the same dir with a DIFFERENT config or input
@@ -148,6 +189,15 @@ class DedupPipeline:
                 "dense_labels": self.dense_labels,
                 "input_schema": docs.schema.simpleString(),
                 "input_files": sorted(docs.inputFiles()),
+                # content signal beyond file NAMES: per-file size+mtime for
+                # file sources (catches in-place rewrites), and the
+                # canonicalized-plan semantic hash for in-memory inputs
+                # (createDataFrame test corpora have no inputFiles at all —
+                # without this, two different in-memory inputs under the
+                # same config would share a fingerprint and a resume could
+                # silently reload the other run's stages).  Neither signal
+                # triggers a Spark job.
+                "input_signal": _input_content_signal(docs),
             }
         )
         # cache=True: clean feeds the signature kernel, the doc-id universe
@@ -262,11 +312,16 @@ def build_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # constraint propagation hits a Spark UnionBase.rewriteConstraints
-        # AttributeMap "key not found" failure on the cold∪salted-hot pair
-        # union when the plan is optimized behind a lineage cut; the
-        # inferred IsNotNull filters it would add are worthless here (all
-        # join keys are non-null by construction), so turn it off
+        # PERF (not correctness): constraint propagation re-derives
+        # constraints over our deliberately huge unrolled expression trees
+        # (21 banded xxhash64 keys, 64-term jaccard) on every AQE replan —
+        # measured 2-6x driver-time blowup on the flagship/simhash queries
+        # with it on.  The inferred IsNotNull filters are worthless here
+        # (all join keys non-null by construction).  The library is
+        # CORRECT on vanilla sessions (tests/test_vanilla_session.py — the
+        # union-free candidate_pairs avoids the Spark
+        # UnionBase.rewriteConstraints crash this conf used to paper over);
+        # this is purely the recommended tuning.
         .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -9,9 +9,9 @@ def spark():
         .appName("sparkdedup-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
-        # see build_spark: Spark UnionBase.rewriteConstraints bug on the
-        # pair-union plan; inferred constraints are useless for our plans
-        .config("spark.sql.constraintPropagation.enabled", "false")
+        # deliberately NO spark.sql.constraintPropagation.enabled override:
+        # the whole suite must pass on vanilla Spark confs (the library once
+        # only worked on sessions it configured itself — a shipped bug)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")

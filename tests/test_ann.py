@@ -47,8 +47,11 @@ def test_full_probe_equals_brute_force(spark, vectors, queries):
     assert got == want
 
 
-def test_multiprobe_recall_monotone(spark, vectors, queries):
-    idx = build_index(vectors, n_bits=4, dim_stride=16)
+def test_multiprobe_recall_curve(spark, vectors, queries):
+    """recall@10 vs brute force must be monotone in the probe level, and
+    probing ALL buckets (probes = n_bits) must equal brute force exactly
+    — the measured curve is the docstring'd recall/probe tradeoff."""
+    idx = build_index(vectors, n_bits=4, dim_stride=16, dim=DIM)
     exact = brute_force_topk(vectors, queries, k=10, dim=DIM)
     truth = {}
     for r in exact.collect():
@@ -63,9 +66,21 @@ def test_multiprobe_recall_monotone(spark, vectors, queries):
         total = sum(len(t) for t in truth.values())
         return hits / total
 
-    r0, r1 = recall(0), recall(1)
-    assert r1 >= r0
+    r0, r1, r2, r_full = recall(0), recall(1), recall(2), recall(4)
+    print(f"ANN recall@10 curve (n_bits=4): probes 0={r0:.3f} 1={r1:.3f} 2={r2:.3f} 4={r_full:.3f}")
+    assert r0 <= r1 <= r2 <= r_full
     assert r1 >= 0.5  # multi-probe over 5/16 buckets of clustered data
+    assert r_full == 1.0  # all 16 buckets probed == exhaustive
+
+
+def test_dim_validation_raises(spark, vectors, queries):
+    """(n_bits-1)*dim_stride >= dim would silently zero bucket bits
+    (NULL > 0 is false) — the library must refuse instead."""
+    with pytest.raises(ValueError, match="index past the embedding"):
+        build_index(vectors, n_bits=8, dim_stride=16, dim=DIM)
+    idx = build_index(vectors, n_bits=4, dim_stride=16, dim=DIM)
+    with pytest.raises(ValueError, match="index past the embedding"):
+        search(idx, queries, k=5, n_bits=5, dim_stride=16, probes=1, dim=DIM)
 
 
 def test_returned_scores_are_exact(spark, vectors, queries):

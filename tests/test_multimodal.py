@@ -50,3 +50,18 @@ def test_sample_frames_expansion(spark):
     ids = {r["media_id"] for r in out}
     assert 0 in ids and 3 not in ids  # null payload yields no frames
     assert all(len(r["frame_sha"]) == 40 for r in out)
+
+
+def test_sniff_mime_batch_matches_scalar():
+    import pandas as pd
+
+    from sparkdedup.multimodal import sniff_mime, sniff_mime_batch
+
+    payloads = [
+        b"\x89PNGxxxx", b"\xff\xd8\xff\xe1", b"GIF89a", b"RIFFxxxxWAVE",
+        b"ID3\x03data", b"\x00\x00\x00\x18ftypmp42", b"<html>", b"<!DOCTYPE",
+        b"random", b"", None, b"\x89", b"G",
+    ]
+    got = sniff_mime_batch(pd.Series(payloads, dtype=object))
+    for i, p in enumerate(payloads):
+        assert got.iloc[i] == sniff_mime(p) or (p is None and got.iloc[i] is None)

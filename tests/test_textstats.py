@@ -93,3 +93,27 @@ def test_sql_lang_id_matches_udf(spark, tmp_path):
         for r in sdf.select("doc_id", lang_id_udf("text").alias("lang_pred")).collect()
     }
     assert sql_res == udf_res
+
+
+def test_fingerprint_batch_matches_scalar():
+    """The vectorized mod-(2^61-1) winnowing kernel must be bit-identical
+    to the per-row rolling-hash spec twin, across lengths, unicode, empty,
+    None, and non-default (window, keep)."""
+    import random
+
+    from sparkdedup.functions.textstats import (
+        fingerprint_batch,
+        rolling_fingerprint_text,
+    )
+
+    rng = random.Random(11)
+    texts = ["", "short", "a" * 15, "a" * 16, None, "üñïçødé ́ tëxt" * 3]
+    texts += [
+        "".join(rng.choice("abcxyz.,;! \n") for _ in range(rng.randint(1, 400)))
+        for _ in range(150)
+    ]
+    for window, keep in ((16, 4), (8, 7), (32, 2)):
+        got = fingerprint_batch(texts, window, keep)
+        for i, t in enumerate(texts):
+            want = None if t is None else rolling_fingerprint_text(str(t), window, keep)
+            assert got[i] == want, (window, keep, i, repr(t)[:40])
