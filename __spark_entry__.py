@@ -268,6 +268,22 @@ _MEDIA_ORACLE = (
 )
 
 
+def _webtext_extract_roundtrip(spark, sf_dir) -> DataFrame:
+    """The input_hint per-row invariant as a driver-checked query:
+    synthesize the fixture html envelope (FIXTURES.md §1) around each
+    text, run the real extract_text pandas UDF on the binary column, and
+    return the extraction — which must be byte-identical to the original
+    text (the oracle is simply SELECT text)."""
+    from sparkdedup.functions.extract import extract_text_udf
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    html = F.encode(
+        F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+        "UTF-8",
+    )
+    return d.select("doc_id", extract_text_udf(html.alias("html")).alias("extracted"))
+
+
 # ------------------------------------------------------------ text analysis
 
 # Heuristic language-ID re-expressed as ONE pure-SQL scoring expression so
@@ -824,6 +840,13 @@ _q("text_lang_id", _text_lang_id, _lang_id_oracle_sql())
 
 # --- multimodal metadata ---
 _q("media_metadata", _media_metadata, _MEDIA_ORACLE)
+
+# --- html extraction round-trip (input_hint invariant) ---
+_q(
+    "webtext_extract_roundtrip",
+    _webtext_extract_roundtrip,
+    "SELECT doc_id, text AS extracted FROM documents WHERE text IS NOT NULL",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

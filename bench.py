@@ -89,6 +89,13 @@ def main() -> None:
         "dedup_docs": n_docs,
         "dedup_docs_per_sec": round(n_docs / flagship, 1) if flagship > 0 else None,
         "passes": passes,
+        # measurement protocol, stated in-band so cross-round comparisons
+        # are honest: cheap-first ordering absorbs session cold start into
+        # the early queries; per-query MIN of the raw passes (reported
+        # above) counters this host's first-touch page-fault variance.
+        # Round 1 used single-pass flagship-first; do not compare r1
+        # totals to later rounds without reading the raw passes.
+        "protocol": "2 passes, warm session, cheap-first order, per-query min",
     }
     print(json.dumps(out))
     spark.stop()

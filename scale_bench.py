@@ -219,6 +219,10 @@ one memory bus across "executors", so this understates multi-node scaling
 for the shuffle-heavy stages; both runs pay identical fixed costs
 (session startup excluded; python-worker warmup excluded via a pre-run).
 cpu util is child CPU over full subprocess wall (incl. JVM startup) / cores.
+
+See SCALING.md for the layer-by-layer attribution of the efficiency number
+(host memory-system ceiling, JVM sys-time blowup, CC-loop serial fraction)
+and kernel_scaling.json for the no-Spark multiprocessing anchor.
 """
         )
     print(json.dumps({"efficiency": eff, "thr8": thr8, "thr32": thr32,

@@ -30,6 +30,10 @@ from sparkdedup.pipeline import DedupPipeline
 def parse_args(argv=None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="sparkdedup: near-duplicate detection")
     p.add_argument("--input", required=True, help="parquet path or table of documents")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "csv", "json", "table"],
+                   help="'table' reads a catalog table (the Iceberg path on a "
+                        "real cluster); file formats read --input as a path")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--checkpoint", default=None, help="stage checkpoint dir (resumable)")
     p.add_argument("--checkpoint-format", default="parquet",
@@ -59,6 +63,17 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--substring-min-span", type=int, default=None,
                    help="enable the exact-substring stage: emit substring_edges for "
                         "LSH candidate pairs sharing an exact span >= this many chars")
+    p.add_argument("--stream", action="store_true",
+                   help="treat --input as a Structured Streaming file source: drain "
+                        "all available files (availableNow trigger), folding each "
+                        "micro-batch through the O(delta) incremental engine; "
+                        "requires --state-dir, reuses --checkpoint for the stream's "
+                        "exactly-once progress log")
+    p.add_argument("--state-dir", default=None,
+                   help="incremental state tables dir (signatures/bands/edges), "
+                        "persisted across runs; required with --stream")
+    p.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="bound micro-batch size in --stream mode (files per trigger)")
     return p.parse_args(argv)
 
 
@@ -66,7 +81,13 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     spark = SparkSession.builder.appName("sparkdedup").getOrCreate()
 
-    docs = spark.read.parquet(args.input)
+    if args.input_format == "parquet":
+        docs = spark.read.parquet(args.input)
+    else:
+        from sparkdedup.io.sources import read_corpus
+
+        docs = read_corpus(spark, args.input, fmt=args.input_format,
+                           text_col=args.text_col, id_col=args.id_col)
     id_col = args.id_col
     if args.id_from_url:
         from sparkdedup.io.sources import check_id_collisions
@@ -86,6 +107,45 @@ def main(argv=None) -> None:
         simhash_hamming_max=args.simhash_hamming_max,
         substring_min_span=args.substring_min_span,
     )
+    if args.stream:
+        if args.state_dir is None or args.checkpoint is None:
+            raise SystemExit("--stream requires --state-dir and --checkpoint")
+        if args.input_format != "parquet":
+            raise SystemExit("--stream supports parquet file sources only")
+        if args.id_from_url:
+            raise SystemExit(
+                "--id-from-url is not supported with --stream: derive doc_id "
+                "upstream (the micro-batch source must carry a stable long id)"
+            )
+        from sparkdedup.incremental import IncrementalDedup
+        from sparkdedup.streaming import stream_ingest
+
+        inc = IncrementalDedup(spark, cfg, state_dir=args.state_dir)
+        q = stream_ingest(
+            spark, args.input, docs.schema, inc,
+            checkpoint_dir=args.checkpoint,
+            text_col=args.text_col, id_col=id_col,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=True,
+        )
+        q.awaitTermination()
+        assignments = inc.assignments
+        if assignments is None:
+            print(json.dumps({"mode": "stream", "batches": 0, "docs": 0}))
+            spark.stop()
+            return
+        assignments.write.mode("overwrite").parquet(
+            os.path.join(args.output, "assignments")
+        )
+        print(json.dumps({
+            "mode": "stream",
+            "batches": inc.n_batches,
+            "docs": assignments.count(),
+            "clusters": assignments.select("cluster_id").distinct().count(),
+        }))
+        spark.stop()
+        return
+
     pipe = DedupPipeline(
         spark, cfg, checkpoint_dir=args.checkpoint, dense_labels=args.dense_labels,
         checkpoint_format=args.checkpoint_format,

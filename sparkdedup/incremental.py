@@ -115,6 +115,12 @@ class IncrementalDedup:
     def edges(self) -> DataFrame | None:
         return self._table("edges")
 
+    @property
+    def assignments(self) -> DataFrame | None:
+        """Materialized (doc_id, cluster_id) as of the last ingest_batch
+        (None before the first ingest of this instance)."""
+        return self._assignments
+
     def _append(self, name: str, delta: DataFrame) -> DataFrame:
         """Materialize ONLY the delta; prior state is already durable."""
         if self.state_dir is not None:

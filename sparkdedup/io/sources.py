@@ -75,6 +75,12 @@ def read_corpus(
         df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     elif fmt == "json":
         df = spark.read.json(path)
+    elif fmt == "table":
+        # catalog table — the Iceberg path on a real cluster (north_rule:
+        # "over Iceberg tables"): any catalog-registered table resolves
+        # here via DataSourceV2, which owns snapshot isolation and
+        # partition pruning; no Iceberg-specific code is needed engine-side
+        df = spark.table(path)
     else:
         df = spark.read.parquet(path)
 

