@@ -698,6 +698,40 @@ _q(
 )
 
 _q(
+    # A12: event-time tumbling-window aggregation — F.window is the exact
+    # expression Structured Streaming windowed aggs use; in batch it is
+    # DuckDB time_bucket (SURVEY §2.10 concepts, exercised batch-side)
+    "a12_windowed_counts",
+    lambda s, d: _t(s, d, "events")
+    .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+    .agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    .select(
+        F.col("w.start").alias("win_start"), "event_type", "cnt", "avg_value"
+    ),
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,"
+    " count(*) AS cnt, round(avg(value), 4) AS avg_value"
+    " FROM events GROUP BY 1, 2",
+)
+_q(
+    # corpus vocabulary stats: document frequency of whitespace tokens —
+    # the df/vocab operator every training-data pipeline needs
+    "text_vocab_topk",
+    lambda s, d: _t(s, d, "documents")
+    .where(F.length(F.trim("text")) > 0)
+    .select("doc_id", F.explode(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))).alias("tok"))
+    .groupBy("tok")
+    .agg(F.count(F.lit(1)).alias("doc_freq"))
+    .orderBy(F.desc("doc_freq"), F.asc("tok"))
+    .limit(50),
+    "SELECT tok, count(*) AS doc_freq FROM ("
+    " SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok"
+    " FROM documents WHERE length(trim(text)) > 0)"
+    " GROUP BY tok ORDER BY doc_freq DESC, tok LIMIT 50",
+)
+_q(
     # A11: graph density scalar (ref detail_page.py:295-299 nx.density) +
     # node/edge counts over the same canonical pair table as t8/a10
     "a11_graph_density",

@@ -117,3 +117,31 @@ def test_fingerprint_batch_matches_scalar():
         for i, t in enumerate(texts):
             want = None if t is None else rolling_fingerprint_text(str(t), window, keep)
             assert got[i] == want, (window, keep, i, repr(t)[:40])
+
+
+def test_fingerprint_batch_property():
+    """Property-based: arbitrary unicode texts (including exotic
+    codepoints, whitespace runs, and empty strings) produce identical
+    fingerprints through the vectorized and scalar kernels."""
+    from hypothesis import given, settings, strategies as st
+
+    from sparkdedup.functions.textstats import (
+        fingerprint_batch,
+        rolling_fingerprint_text,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.text(max_size=200)), min_size=1, max_size=8
+        ),
+        st.integers(min_value=2, max_value=24),
+        st.integers(min_value=1, max_value=8),
+    )
+    def _prop(texts, window, keep):
+        got = fingerprint_batch(texts, window, keep)
+        for i, t in enumerate(texts):
+            want = None if t is None else rolling_fingerprint_text(str(t), window, keep)
+            assert got[i] == want
+
+    _prop()
