@@ -735,12 +735,18 @@ _q(
     # A11: graph density scalar (ref detail_page.py:295-299 nx.density) +
     # node/edge counts over the same canonical pair table as t8/a10
     "a11_graph_density",
+    # ONE pass over the distinct pair set: explode each pair into its two
+    # endpoints, then a single aggregation yields edges (rows/2) and
+    # distinct nodes together — no triple recomputation of the pair CTE
     lambda s, d: (
-        lambda pairs: pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
-            pairs.select(F.col("src").alias("node"))
-            .unionAll(pairs.select(F.col("dst").alias("node")))
-            .agg(F.countDistinct("node").alias("n_nodes"))
-        ).select(
+        lambda pairs: pairs.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
+        .agg(
+            F.countDistinct("node").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        )
+        .select(
             "n_nodes",
             "n_edges",
             F.round(

@@ -41,8 +41,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "with --checkpoint-table-prefix on a cluster with an Iceberg catalog)")
     p.add_argument("--checkpoint-table-prefix", default=None,
                    help="catalog.namespace for iceberg checkpoint tables")
-    p.add_argument("--text-col", default="text")
-    p.add_argument("--id-col", default="doc_id", help="long id column; use --id-from-url to derive")
+    p.add_argument("--text-col", default=None,
+                   help="text column (default: 'text' for parquet; auto-detected "
+                        "for csv/json/table via read_corpus)")
+    p.add_argument("--id-col", default=None,
+                   help="long id column (default: 'doc_id' for parquet; "
+                        "auto-detected for csv/json/table); use --id-from-url to derive")
     p.add_argument("--id-from-url", action="store_true",
                    help="derive doc_id = xxhash64(url) (web-scale id assignment)")
     p.add_argument("--threshold", type=float, default=0.3)
@@ -82,13 +86,26 @@ def main(argv=None) -> None:
     spark = SparkSession.builder.appName("sparkdedup").getOrCreate()
 
     if args.input_format == "parquet":
-        docs = spark.read.parquet(args.input)
+        try:
+            docs = spark.read.parquet(args.input)
+        except Exception as ex:  # empty/not-yet-populated stream input dir
+            if args.stream:
+                print(json.dumps({"mode": "stream", "batches": 0, "docs": 0,
+                                  "note": f"no readable input yet: {type(ex).__name__}"}))
+                spark.stop()
+                return
+            raise
+        text_col = args.text_col or "text"
+        id_col = args.id_col or "doc_id"
     else:
         from sparkdedup.io.sources import read_corpus
 
+        # None lets read_corpus auto-detect (reference column-resolution
+        # semantics); it normalizes into 'doc_id'/'text' columns
         docs = read_corpus(spark, args.input, fmt=args.input_format,
                            text_col=args.text_col, id_col=args.id_col)
-    id_col = args.id_col
+        text_col = "text"
+        id_col = "doc_id"
     if args.id_from_url:
         from sparkdedup.io.sources import check_id_collisions
 
@@ -124,7 +141,7 @@ def main(argv=None) -> None:
         q = stream_ingest(
             spark, args.input, docs.schema, inc,
             checkpoint_dir=args.checkpoint,
-            text_col=args.text_col, id_col=id_col,
+            text_col=text_col, id_col=id_col,
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=True,
         )
@@ -151,7 +168,7 @@ def main(argv=None) -> None:
         checkpoint_format=args.checkpoint_format,
         checkpoint_table_prefix=args.checkpoint_table_prefix,
     )
-    out = pipe.run(docs, text_col=args.text_col, id_col=id_col)
+    out = pipe.run(docs, text_col=text_col, id_col=id_col)
 
     out["assignments"].write.mode("overwrite").parquet(os.path.join(args.output, "assignments"))
     out["edges"].write.mode("overwrite").parquet(os.path.join(args.output, "edges"))

@@ -70,7 +70,18 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
 
 class IncrementalDedup:
     """State is a list of per-batch checkpointed deltas (in-memory mode)
-    or append-only parquet tables (``state_dir`` mode)."""
+    or parquet delta directories under ``state_dir`` governed by a
+    COMMIT LOG (``state_dir/_commits/<token>.json``).
+
+    Exactly-once fold protocol (state_dir mode): each batch's three
+    deltas are written to ``<table>/delta=<token>/`` (mode=overwrite, so
+    a replay of a torn write is idempotent), and the commit marker is
+    written ONLY after all three deltas are durable.  Readers union ONLY
+    committed delta dirs, so a crash mid-batch leaves invisible orphans,
+    never torn state.  When the caller supplies a stable ``batch_id``
+    (e.g. Structured Streaming's foreachBatch id), a replayed
+    already-committed batch is recognized by its marker and skipped —
+    at-least-once delivery from the stream becomes exactly-once state."""
 
     _TABLES = ("signatures", "bands", "edges")
 
@@ -79,28 +90,75 @@ class IncrementalDedup:
         spark: SparkSession,
         config: DedupConfig | None = None,
         state_dir: str | None = None,
+        dedupe_ids: bool = True,
     ):
+        """dedupe_ids: drop incoming docs whose doc_id is already in the
+        state (first-write-wins) via an anti-join against the signature
+        table's doc_id column.  Protects against overlapping input
+        batches; costs one column-pruned scan of the signature state per
+        batch — disable only when batches are disjoint by construction."""
         self.spark = spark
         self.config = config or DedupConfig()
         self.pipe = DedupPipeline(spark, self.config)
         self.state_dir = state_dir
+        self.dedupe_ids = dedupe_ids
         self._deltas: dict[str, list[DataFrame]] = {t: [] for t in self._TABLES}
+        self._seen_tokens: set[str] = set()  # in-memory mode replay guard
         # materialized (doc_id, cluster_id) from the previous ingest; None
         # until the first ingest (or on a fresh instance resuming from
         # state_dir — rebuilt by one global CC on its first batch)
         self._assignments: DataFrame | None = None
-        self.n_batches = 0
-        if state_dir is not None:
-            for t in self._TABLES:
-                if os.path.isdir(os.path.join(state_dir, t)):
-                    self.n_batches = 1  # prior state exists on disk
+        self.n_batches = len(self._committed_tokens())
+
+    # --- commit log ---
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.state_dir, "_commits")
+
+    def _committed_tokens(self) -> list[str]:
+        if self.state_dir is None:
+            return sorted(self._seen_tokens)
+        d = self._commits_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json"))
+
+    def _is_committed(self, token: str) -> bool:
+        if self.state_dir is None:
+            return token in self._seen_tokens
+        return os.path.exists(os.path.join(self._commits_dir(), f"{token}.json"))
+
+    def _commit(self, token: str, meta: dict) -> None:
+        if self.state_dir is None:
+            self._seen_tokens.add(token)
+            return
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        import json
+
+        tmp = os.path.join(self._commits_dir(), f".{token}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self._commits_dir(), f"{token}.json"))
+
+    def _write_delta(self, name: str, delta: DataFrame, token: str) -> None:
+        if self.state_dir is None:
+            self._deltas[name].append(delta)
+            return
+        p = os.path.join(self.state_dir, name, f"delta={token}")
+        delta.write.mode("overwrite").parquet(p)
 
     # --- state access (lazy; no recompute — every delta is materialized) ---
 
     def _table(self, name: str) -> DataFrame | None:
         if self.state_dir is not None:
-            p = os.path.join(self.state_dir, name)
-            return self.spark.read.parquet(p) if os.path.isdir(p) else None
+            paths = [
+                os.path.join(self.state_dir, name, f"delta={t}")
+                for t in self._committed_tokens()
+            ]
+            paths = [p for p in paths if os.path.isdir(p)]
+            if not paths:
+                return None
+            return self.spark.read.parquet(*paths)
         return _union_all(self._deltas[name]) if self._deltas[name] else None
 
     @property
@@ -121,30 +179,62 @@ class IncrementalDedup:
         (None before the first ingest of this instance)."""
         return self._assignments
 
-    def _append(self, name: str, delta: DataFrame) -> DataFrame:
-        """Materialize ONLY the delta; prior state is already durable."""
-        if self.state_dir is not None:
-            p = os.path.join(self.state_dir, name)
-            delta.write.mode("append").parquet(p)
-            return self.spark.read.parquet(p)
-        self._deltas[name].append(delta.localCheckpoint(eager=True))
-        return _union_all(self._deltas[name])
+    def _rebuild_assignments(self) -> DataFrame:
+        """Global CC over the committed state — the one-time cost of a
+        fresh instance resuming mid-run (steady-state batches cluster
+        incrementally)."""
+        from pyspark.sql import functions as F
+
+        sigs = self.signatures
+        edges = self.edges
+        if sigs is None:
+            raise ValueError("no committed state to rebuild assignments from")
+        ids = sigs.select("doc_id")
+        if edges is None:
+            return ids.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        star = connected_components(edges)
+        return assignments_from_components(ids, star, dense=False)
 
     # --- ingest ---
 
     def ingest_batch(
-        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        batch_id: int | str | None = None,
     ) -> DataFrame:
         """Add a batch; returns full updated assignments (doc_id,
-        cluster_id) over everything ingested so far."""
+        cluster_id) over everything ingested so far.
+
+        batch_id: stable identifier for replay detection (exactly-once
+        fold under at-least-once delivery — see class docstring).  None
+        assigns a one-shot token with no replay protection."""
+        import uuid
+
+        token = f"b{batch_id}" if batch_id is not None else uuid.uuid4().hex[:12]
+        if batch_id is not None and self._is_committed(token):
+            # replayed, already-committed batch: state must not change
+            if self._assignments is None:
+                self._assignments = self._rebuild_assignments().localCheckpoint(
+                    eager=True
+                )
+            return self._assignments
+
         c = self.config
         b, r = c.bands_rows()
 
+        old_sigs = self.signatures  # committed state only
+        old_bands = self.bands
         clean = self.pipe.normalize(docs, text_col, id_col)
+        if self.dedupe_ids and old_sigs is not None:
+            # first-write-wins on re-delivered doc_ids: without this, a
+            # duplicate doc contracts onto its own prior label and the
+            # incremental relabel would emit conflicting rows for it
+            clean = clean.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
         new_sigs = self.pipe.signatures(clean).localCheckpoint(eager=True)
         new_bands = explode_bands(new_sigs, b, r).localCheckpoint(eager=True)
 
-        old_bands = self.bands
         if old_bands is None:
             touched_bands = new_bands
         else:
@@ -172,23 +262,28 @@ class IncrementalDedup:
             ).join(new_ids.withColumnRenamed("doc_id", "dst"), "dst", "leftsemi")
             pairs = src_new.unionByName(dst_only_new.select("src", "dst"))
 
-        all_sigs = self._append("signatures", new_sigs)
-        self._append("bands", new_bands)
+        all_sigs = (
+            new_sigs if old_sigs is None else old_sigs.unionByName(new_sigs)
+        )
         had_prior_edges = self._table("edges") is not None
         new_edges = verify_pairs(
             pairs, all_sigs, c.threshold, c.num_perm
         ).localCheckpoint(eager=True)
-        edges = self._append("edges", new_edges)
+
+        # durable exactly-once commit: three idempotent delta writes, then
+        # the marker — a crash anywhere before the marker leaves the state
+        # exactly as before this batch
+        self._write_delta("signatures", new_sigs, token)
+        self._write_delta("bands", new_bands, token)
+        self._write_delta("edges", new_edges, token)
+        self._commit(token, {"batch_id": batch_id, "token": token})
         self.n_batches += 1
 
         prior = self._assignments
         if prior is None and had_prior_edges:
             # fresh instance resuming from persisted state: rebuild the
             # assignment state once with a global CC, then increment
-            star = connected_components(edges)
-            assign = assignments_from_components(
-                all_sigs.select("doc_id"), star, dense=False
-            )
+            assign = self._rebuild_assignments()
         elif prior is None:
             star = connected_components(new_edges)
             assign = assignments_from_components(

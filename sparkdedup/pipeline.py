@@ -49,7 +49,9 @@ def _input_content_signal(docs: DataFrame) -> list | int:
         local = f[7:] if f.startswith("file://") else f
         try:
             st = os.stat(local)
-            out.append([f, st.st_size, int(st.st_mtime)])
+            # nanosecond mtime: second-granularity would let an in-place
+            # same-size rewrite within one second slip past the manifest
+            out.append([f, st.st_size, st.st_mtime_ns])
         except OSError:
             out.append([f, None, None])
     return out
@@ -162,8 +164,11 @@ class DedupPipeline:
         the duration (PERF only — see build_spark): the eager stage cuts
         inside run() are where the huge unrolled plans get optimized, so a
         vanilla session gets the fast path without any session tuning.
-        Results are identical either way (tests/test_vanilla_session.py
-        runs with the conf forced ON)."""
+        Results are identical either way — and the plans are CORRECT with
+        the conf on: tests/test_vanilla_session.py composes the stage
+        methods directly (outside run(), so nothing overrides the conf)
+        and optimizes every plan shape, including the dup-edges union,
+        with constraint propagation forced ON."""
         _CP = "spark.sql.constraintPropagation.enabled"
         orig_cp = self.spark.conf.get(_CP)
         self.spark.conf.set(_CP, "false")

@@ -6,9 +6,13 @@ into a growing in-memory LSH index).
 Spark-first shape: `readStream` on a file/table source, `foreachBatch`
 folding every micro-batch through :class:`~sparkdedup.incremental.
 IncrementalDedup` (O(delta) signing/banding/pairing + O(delta) contracted
-connected components), with Spark's own streaming checkpoint giving
-exactly-once batch replay on restart and the incremental `state_dir`
-persisting the dedup state itself.
+connected components).  foreachBatch delivery is AT-LEAST-ONCE (Spark
+replays the in-flight batch after a crash); state updates are still
+exactly-once because the micro-batch id is passed into ``ingest_batch``,
+whose commit-log protocol makes replayed batches no-ops and torn writes
+invisible (see IncrementalDedup docstring).  Spark's streaming checkpoint
+tracks source progress; the incremental ``state_dir`` holds the dedup
+state itself.
 
 Why foreachBatch and not a stateful operator: LSH dedup needs a GLOBAL
 band index (any new doc can pair with any prior doc), which does not fit
@@ -47,12 +51,25 @@ def stream_ingest(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_path)
 
+    # namespace batch tokens by the streaming checkpoint identity: micro-
+    # batch ids restart from 0 for a NEW checkpoint, and a fresh stream
+    # pointed at an EXISTING state_dir must not have its batch 0 mistaken
+    # for the old stream's committed batch 0
+    import hashlib
+
+    stream_ns = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:8]
+
     def _fold(batch_df, batch_id: int) -> None:
-        # ingest_batch materializes its own deltas; empty replayed batches
-        # (post-restart) fold as no-ops
+        # the namespaced batch_id makes replayed deliveries idempotent
+        # (commit-log skip); empty batches fold as no-ops
         if batch_df.isEmpty():
             return
-        inc.ingest_batch(batch_df, text_col=text_col, id_col=id_col)
+        inc.ingest_batch(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            batch_id=f"{stream_ns}-{batch_id}",
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_fold)

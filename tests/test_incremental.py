@@ -64,3 +64,72 @@ def test_incremental_state_dir_survives_instances(spark, tmp_path):
         return {frozenset(v) for v in clusters.values()}
 
     assert canon(got) == canon(want)
+
+
+def test_exactly_once_commit_log(spark, tmp_path):
+    """Replay protection + torn-write invisibility: a re-delivered batch
+    (same batch_id) must not change the committed state, and delta dirs
+    without a commit marker (a crash before commit) are never read."""
+    import os
+
+    docs = webtext_spark_df(spark, 120, seed=3).select("doc_id", "text")
+    cfg = DedupConfig(threshold=0.3, shingle_size=4)
+    sd = str(tmp_path / "state")
+    inc = IncrementalDedup(spark, cfg, state_dir=sd)
+    b0 = docs.where("doc_id < 60")
+    b1 = docs.where("doc_id >= 60")
+
+    a1 = inc.ingest_batch(b0, batch_id=0)
+    sig_n = inc.signatures.count()
+    edge_n = inc.edges.count() if inc.edges is not None else 0
+    a1_rows = {(r["doc_id"], r["cluster_id"]) for r in a1.collect()}
+
+    # replayed delivery of the SAME batch id: a no-op on state
+    a2 = inc.ingest_batch(b0, batch_id=0)
+    assert inc.signatures.count() == sig_n
+    assert (inc.edges.count() if inc.edges is not None else 0) == edge_n
+    assert {(r["doc_id"], r["cluster_id"]) for r in a2.collect()} == a1_rows
+
+    # torn write: a delta dir with no commit marker is invisible
+    os.makedirs(os.path.join(sd, "signatures", "delta=b99"), exist_ok=True)
+    inc2 = IncrementalDedup(spark, cfg, state_dir=sd)  # fresh instance
+    assert inc2.signatures.count() == sig_n
+
+    # fresh instance folds the next batch exactly once despite a replay
+    inc2.ingest_batch(b1, batch_id=1)
+    got = inc2.ingest_batch(b1, batch_id=1)  # replayed delivery
+    assert inc2.signatures.count() == 120
+
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DedupPipeline(spark, cfg)
+        .run(docs)["assignments"]
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    got_map = {r["doc_id"]: r["cluster_id"] for r in got.collect()}
+    assert got_map == want
+
+
+def test_overlapping_batches_first_write_wins(spark):
+    """A doc_id delivered in two different batches must appear exactly
+    once in state and exactly once in the returned assignments (the
+    dedupe_ids anti-join guard)."""
+    docs = webtext_spark_df(spark, 120, seed=3).select("doc_id", "text")
+    cfg = DedupConfig(threshold=0.3, shingle_size=4)
+    inc = IncrementalDedup(spark, cfg)
+    inc.ingest_batch(docs.where("doc_id < 80"))
+    assign = inc.ingest_batch(docs.where("doc_id >= 40"))  # 40..79 overlap
+    assert inc.signatures.count() == 120
+    rows = assign.collect()
+    assert len(rows) == 120
+    assert len({r["doc_id"] for r in rows}) == 120
+
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DedupPipeline(spark, cfg)
+        .run(docs)["assignments"]
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    assert {r["doc_id"]: r["cluster_id"] for r in rows} == want

@@ -66,6 +66,43 @@ def test_all_union_variants_on_vanilla_session(vanilla):
     out["substring_edges"].count()  # must not crash
 
 
+def test_stage_composition_with_constraint_propagation_on(vanilla):
+    """DedupPipeline.run() set-and-restores the constraintPropagation perf
+    conf, so the run()-level tests above do NOT exercise the optimizer
+    with it on.  This one composes the public stage methods directly —
+    nothing overrides the conf — so every plan shape (salted pairs,
+    verify joins, the edges∪dup_edges union, CC rounds) is optimized and
+    executed under vanilla constraint propagation."""
+    from pyspark.sql import functions as F
+
+    from sparkdedup.operators.certainty import with_certainty
+
+    assert vanilla.conf.get("spark.sql.constraintPropagation.enabled") == "true"
+    docs = make_corpus(vanilla)
+    pipe = DedupPipeline(vanilla, DedupConfig(threshold=0.3, shingle_size=4))
+    clean = pipe.normalize(docs, "text", "doc_id")
+    sigs = pipe.signatures(clean).localCheckpoint(eager=True)
+    edges = pipe.edges(sigs).localCheckpoint(eager=True)
+    # the exact-prepass union shape (REAL dup edges — an empty branch
+    # would be pruned by PropagateEmptyRelation and never exercise the
+    # Union), optimized under CP on
+    hashed = clean.select("doc_id", F.md5("clean").alias("_h"))
+    reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep"))
+    groups = hashed.join(reps, "_h").select("rep", "doc_id")
+    dup_edges = (
+        groups.where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+        .withColumn("sim", F.lit(1.0))
+    )
+    assert dup_edges.count() > 0  # fixture plants exact duplicates
+    all_edges = edges.unionByName(dup_edges)
+    assignments = pipe.cluster(clean.select("doc_id"), all_edges)
+    final = with_certainty(assignments, all_edges)
+    assert final.count() == clean.count()
+    # the conf was never touched by the stage methods
+    assert vanilla.conf.get("spark.sql.constraintPropagation.enabled") == "true"
+
+
 def test_salted_pairs_match_unsalted_on_vanilla_session(vanilla):
     """The unified salted group-explode must emit exactly the join-based
     pair set, on a vanilla session, with hot buckets forced."""
