@@ -15,6 +15,14 @@ checkpointed stages); tested single-node on local[N].
 """
 
 from sparkdedup.config import DedupConfig, optimal_param
+from sparkdedup.incremental import IncrementalDedup
+from sparkdedup.pipeline import DedupPipeline, build_spark
 
-__all__ = ["DedupConfig", "optimal_param"]
+__all__ = [
+    "DedupConfig",
+    "DedupPipeline",
+    "IncrementalDedup",
+    "build_spark",
+    "optimal_param",
+]
 __version__ = "0.1.0"
