@@ -118,7 +118,9 @@ def test_salted_pairs_match_unsalted_on_vanilla_session(vanilla):
         (r["src"], r["dst"])
         for r in candidate_pairs(bands, salt_threshold=None).collect()
     }
-    for salt in (2, 3, 1000):
+    # salt=1 is the extreme: every member its own cell, all pairs cross-
+    # bucket — maximal replication must still be exact
+    for salt in (1, 2, 3, 1000):
         got = {
             (r["src"], r["dst"])
             for r in candidate_pairs(bands, salt_threshold=salt).collect()
