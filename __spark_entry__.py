@@ -276,7 +276,14 @@ def _webtext_extract_roundtrip(spark, sf_dir) -> DataFrame:
     text (the oracle is simply SELECT text)."""
     from sparkdedup.functions.extract import extract_text_udf
 
-    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # spread the single-row-group scan before the pandas UDF (same reason
+    # as _dedup_simhash_candidates: one row group scans as ONE partition
+    # and would serialize the UDF onto a single worker)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     html = F.encode(
         F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
         "UTF-8",

@@ -10,6 +10,18 @@ The flagship measurement is the end-to-end MinHash dedup pipeline over the
 num_perm=64, seed=42); docs/sec is reported alongside per the BASELINE.md
 throughput definition.  Scaling-efficiency evidence (local[8] vs local[32])
 lives in scale_bench.py -> BENCH/BASELINE.md.
+
+HOST-HEALTH CAPTURE (VERDICT r03 item 1): the committed BENCH_r03.json was
+recorded under host contention (flagship 53.9s vs 14.5s idle — a 3.9x
+phantom "regression" in the cross-round ledger).  Every pass now records,
+in-band: steal% over the pass window, whole-box CPU utilization, the CPU
+burned by processes OUTSIDE this bench's own process tree ("other_cores",
+from /proc deltas), and the loadavg captured BEFORE the session starts.
+A pass is INVALID — rerun, never data — when steal% > 3, other_cores >
+cpus/4, or its flagship wall disagrees with the best pass by > 2x; up to
+2 extra passes are run to replace invalid ones, and the validity verdict
+is printed with the numbers so a contaminated artifact can't masquerade
+as a regression again.
 """
 
 from __future__ import annotations
@@ -19,11 +31,95 @@ import os
 import sys
 import time
 
+_HZ = float(os.sysconf("SC_CLK_TCK"))
+
+
+def _box_cpu() -> tuple[float, float, float]:
+    """(busy_sec, steal_sec, total_sec) across all cores from /proc/stat."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = (vals[3] + vals[4]) / _HZ  # idle + iowait
+    steal = (vals[7] if len(vals) > 7 else 0) / _HZ
+    total = sum(vals) / _HZ
+    return total - idle, steal, total
+
+
+def _tree_cpu() -> float:
+    """CPU seconds consumed so far by THIS process and every live
+    descendant (the python driver, the py4j-launched JVM, pyspark worker
+    daemons), via one /proc walk.  Children that exited mid-window are
+    missed until reaped — acceptable here because the JVM and worker
+    daemons persist for the whole bench; the result is used as a LOWER
+    bound on "our" CPU, i.e. an upper bound on other_cores."""
+    me = os.getpid()
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, float] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as f:
+                st = f.read()
+        except OSError:
+            continue
+        # fields after the parenthesized comm (which may contain spaces)
+        rest = st.rsplit(")", 1)[1].split()
+        pid = int(pid_s)
+        ppid_of[pid] = int(rest[1])
+        cpu_of[pid] = (int(rest[11]) + int(rest[12])) / _HZ  # utime+stime
+    total = 0.0
+    for pid in cpu_of:
+        p = pid
+        for _ in range(64):  # ancestor chain
+            if p == me:
+                total += cpu_of[pid]
+                break
+            p = ppid_of.get(p, 0)
+            if p <= 1:
+                break
+    return total
+
+
+def _measure_pass(queries, headline, spark, sf_dir) -> dict:
+    """One timed pass over the headline queries, with host-health fields."""
+    b0, s0, t0 = _box_cpu()
+    j0 = _tree_cpu()
+    w0 = time.time()
+    t: dict[str, float] = {}
+    for name in headline:
+        q0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        t[name] = round(time.time() - q0, 3)
+    w1 = time.time()
+    b1, s1, t1 = _box_cpu()
+    j1 = _tree_cpu()
+    window = max(w1 - w0, 1e-9)
+    other = max((b1 - b0) - (j1 - j0), 0.0)
+    return {
+        "queries": t,
+        "wall_sec": round(window, 3),
+        "steal_pct": round(100.0 * (s1 - s0) / max(t1 - t0, 1e-9), 2),
+        "cpu_util": round((b1 - b0) / window / os.cpu_count(), 3),
+        "other_cores": round(other / window, 2),
+    }
+
+
+def _pass_invalid(p: dict, cpus: int) -> str | None:
+    if p["steal_pct"] > 3.0:
+        return f"steal_pct {p['steal_pct']} > 3"
+    if p["other_cores"] > cpus / 4:
+        return f"other_cores {p['other_cores']} > {cpus / 4} (concurrent host load)"
+    return None
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # loadavg BEFORE the session exists = external load only
+    load_before = os.getloadavg()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from sparkdedup.pipeline import build_spark
@@ -31,7 +127,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = build_spark(
-        app="sparkdedup-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        app="sparkdedup-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -54,48 +150,79 @@ def main() -> None:
         "dedup_simhash_candidates",
         "dedup_minhash_assignments",  # flagship end-to-end pipeline
     ]
+    flagship_q = "dedup_minhash_assignments"
 
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 
-    # Two passes, per-query MIN: this box fault-in-s fresh memory at
+    # Two valid passes, per-query MIN: this box faults in fresh memory at
     # ~6 MB/s until a process's page pool is warm (first-touch page
     # faults, host-backed lazy memory), which makes single-shot walls vary
     # up to 4x run-to-run.  The min across passes measures the engine, not
     # the VM's memory warm-up; raw passes are reported for transparency.
-    passes: list[dict[str, float]] = []
-    for i in range(2):
+    passes: list[dict] = []
+    invalid: list[dict] = []
+    max_passes = 4  # 2 standard + up to 2 replacement reruns
+    for i in range(max_passes):
         if i:
             # fresh compute each pass: pipeline-internal persists would
-            # otherwise serve pass 2 from cache and overstate the engine
+            # otherwise serve later passes from cache and overstate the engine
             spark.catalog.clearCache()
-        t: dict[str, float] = {}
-        for name in headline:
-            t0 = time.time()
-            df = all_queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            t[name] = round(time.time() - t0, 3)
-        passes.append(t)
-    timings = {name: min(p[name] for p in passes) for name in headline}
+        p = _measure_pass(all_queries, headline, spark, sf_dir)
+        reason = _pass_invalid(p, cpus)
+        if reason is None:
+            passes.append(p)
+        else:
+            invalid.append({**p, "invalid": reason})
+        if len(passes) >= 2:
+            # flagship cross-pass sanity: a pass >2x the best is the
+            # VM's fault path or unseen contention, not the engine
+            best = min(q["queries"][flagship_q] for q in passes)
+            bad = [q for q in passes if q["queries"][flagship_q] > 2 * best]
+            for q in bad:
+                q2 = dict(q)
+                q2["invalid"] = f"flagship {q['queries'][flagship_q]} > 2x best {best}"
+                invalid.append(q2)
+            passes = [q for q in passes if q not in bad]
+        if len(passes) >= 2:
+            break
+
+    usable = passes if passes else [min(invalid, key=lambda p: p["queries"][flagship_q])]
+    timings = {name: min(p["queries"][name] for p in usable) for name in headline}
 
     total = round(sum(timings.values()), 3)
-    flagship = timings["dedup_minhash_assignments"]
+    flagship = timings[flagship_q]
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "cpus": int(cpus),
+        "cpus": cpus,
         "dedup_docs": n_docs,
         "dedup_docs_per_sec": round(n_docs / flagship, 1) if flagship > 0 else None,
-        "passes": passes,
+        "passes": [p["queries"] for p in usable],
+        "host_health": {
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "valid_passes": [
+                {k: v for k, v in p.items() if k != "queries"} for p in usable
+            ],
+            "invalid_passes": [
+                {k: v for k, v in p.items() if k != "queries"} for p in invalid
+            ],
+            "measurement_valid": bool(passes) and len(passes) >= 2,
+        },
         # measurement protocol, stated in-band so cross-round comparisons
         # are honest: cheap-first ordering absorbs session cold start into
-        # the early queries; per-query MIN of the raw passes (reported
-        # above) counters this host's first-touch page-fault variance.
-        # Round 1 used single-pass flagship-first; do not compare r1
-        # totals to later rounds without reading the raw passes.
-        "protocol": "2 passes, warm session, cheap-first order, per-query min",
+        # the early queries; per-query MIN of the VALID passes counters
+        # this host's first-touch page-fault variance; passes with steal%
+        # > 3, concurrent-load CPU > cpus/4 cores, or a flagship > 2x the
+        # best pass are excluded and reported under host_health.  Round 1
+        # used single-pass flagship-first; round 3's committed artifact
+        # was contention-contaminated (see BENCH/README.md).
+        "protocol": (
+            "2 valid passes (max 4), warm session, cheap-first order, "
+            "per-query min; contended passes excluded via host_health"
+        ),
     }
     print(json.dumps(out))
     spark.stop()

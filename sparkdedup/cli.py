@@ -151,13 +151,25 @@ def main(argv=None) -> None:
             print(json.dumps({"mode": "stream", "batches": 0, "docs": 0}))
             spark.stop()
             return
+        # same output contract as batch mode (ADVICE r03): assignments
+        # carry certainty (computed from the state edge table — every
+        # verified edge is intra-cluster, same as the batch path), and
+        # edges/ is written so consumers can switch modes freely
+        edges = inc.edges
+        if edges is None:
+            edges = spark.createDataFrame([], "src long, dst long, sim double")
+        from sparkdedup.operators.certainty import with_certainty
+
+        assignments = with_certainty(assignments, edges)
         assignments.write.mode("overwrite").parquet(
             os.path.join(args.output, "assignments")
         )
+        edges.write.mode("overwrite").parquet(os.path.join(args.output, "edges"))
         print(json.dumps({
             "mode": "stream",
             "batches": inc.n_batches,
             "docs": assignments.count(),
+            "edges": edges.count(),
             "clusters": assignments.select("cluster_id").distinct().count(),
         }))
         spark.stop()

@@ -184,17 +184,52 @@ def fingerprint_batch(texts, window: int = 16, keep: int = 4) -> list:
         (same values);
       * cross-document windows are masked out by offset arithmetic;
       * per-doc distinct + k-smallest via one lexsort + adjacent-dedup +
-        rank-within-group selection.
+        rank-within-group selection;
+      * the batch is processed in sub-batches of <= _FP_CHUNK_BYTES of
+        concatenated text (ADVICE r03): the kernel's transient working set
+        is ~5 int64 arrays over the concatenated bytes (~40 B per input
+        byte), so one 10k-row Arrow batch of multi-KB web docs would
+        otherwise allocate GBs per concurrent UDF call — with 32 workers
+        that is exactly the first-touch-fault storm this host punishes.
+        Chunking bounds peak transient memory at ~40 B x 48 MB ≈ 2 GB
+        per worker worst-case, while keeping each kernel call big enough
+        to stay fully vectorized.
     """
     enc = [None if t is None else str(t).encode("utf-8") for t in texts]
     datas = [
         None if d is None else (d + b"\x00" * (window - len(d)) if len(d) < window else d)
         for d in enc
     ]
-    present = [i for i, d in enumerate(datas) if d is not None]
     out: list = [None] * len(texts)
-    if not present:
+    present_all = [i for i, d in enumerate(datas) if d is not None]
+    if not present_all:
         return out
+    # split by cumulative byte budget; every chunk is a contiguous slice of
+    # the present docs so the kernel's offset arithmetic is unchanged
+    chunks: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for i in present_all:
+        cur.append(i)
+        cur_bytes += len(datas[i])
+        if cur_bytes >= _FP_CHUNK_BYTES:
+            chunks.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        chunks.append(cur)
+    for present in chunks:
+        _fingerprint_block(datas, present, out, window, keep)
+    return out
+
+
+_FP_CHUNK_BYTES = 48 << 20  # ~48 MB of concatenated text per kernel call
+
+
+def _fingerprint_block(
+    datas: list, present: list[int], out: list, window: int, keep: int
+) -> None:
+    """One vectorized kernel pass over ``present`` (indices into
+    ``datas``), writing fingerprints into ``out`` in place."""
     lens = np.array([len(datas[i]) for i in present], dtype=np.int64)
     buf = np.frombuffer(b"".join(datas[i] for i in present), dtype=np.uint8).astype(
         np.int64
@@ -249,7 +284,6 @@ def fingerprint_batch(texts, window: int = 16, keep: int = 4) -> list:
     ks_end = np.r_[ks_start[1:], len(Dk)]
     for gi, (a, b) in enumerate(zip(ks_start, ks_end)):
         out[present[Dk[a]]] = Hk[a:b].tolist()
-    return out
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:

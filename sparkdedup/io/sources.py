@@ -58,6 +58,29 @@ def check_id_collisions(df: DataFrame, id_col: str = "doc_id", source_col: str =
         )
 
 
+def _check_cast_nulls(df: DataFrame, icol: str) -> None:
+    """Fail loudly when the id-column cast to long manufactured NULLs
+    (ADVICE r03): a non-numeric string id column casts to NULL for every
+    row, and normalize() only filters null TEXT — the pipeline would run
+    to completion with every doc collapsed onto doc_id=NULL, i.e.
+    silently wrong clustering.  Numeric source types cast losslessly*, so
+    the validation scan is skipped for them (*longs always; double ids
+    would be a schema bug worth the scan anyway, and doubles are not
+    integral so they take the checked path).  Mirrors
+    check_id_collisions' fail-loud stance; one column-pruned scan on the
+    CLI csv/json/table ingest path only."""
+    src_type = dict(df.dtypes)[icol]
+    if src_type in ("tinyint", "smallint", "int", "bigint"):
+        return
+    bad = df.where(F.col(icol).isNotNull() & F.col("doc_id").isNull()).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"id column {icol!r} (type {src_type}) is not castable to long: "
+            "casting produced NULL doc_ids — pass --id-col pointing at a "
+            "numeric column, or derive ids from a url column"
+        )
+
+
 def read_corpus(
     spark: SparkSession,
     path: str,
@@ -87,7 +110,13 @@ def read_corpus(
     tcol = text_col or detect_text_column(df, relaxed=True)
     icol = id_col or detect_id_column(df)
     if icol is not None:
-        out = df.withColumn("doc_id", F.col(icol).cast("long"))
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+        # cast of a non-numeric id THROWS at some arbitrary later action
+        # with an opaque CAST_INVALID_INPUT; under non-ANSI it silently
+        # NULLs every doc_id.  try_cast + the explicit check below gives
+        # one immediate, named failure in both worlds.
+        out = df.withColumn("doc_id", F.col(icol).try_cast("long"))
+        _check_cast_nulls(out, icol)
     elif "url" in df.columns:
         out = df.withColumn("doc_id", F.xxhash64("url"))
         check_id_collisions(out)

@@ -28,6 +28,29 @@ from pyspark.sql.types import StructType
 from sparkdedup.incremental import IncrementalDedup
 
 
+def checkpoint_namespace(checkpoint_dir: str) -> str:
+    """Stable 8-hex namespace for a streaming checkpoint directory.
+
+    Micro-batch ids restart from 0 for a NEW checkpoint, and a fresh
+    stream pointed at an EXISTING state_dir must not have its batch 0
+    mistaken for the old stream's committed batch 0 — so batch tokens are
+    namespaced by the checkpoint identity.  The identity is the REALPATH
+    (ADVICE r03): restarting the same stream with a different spelling of
+    the same local directory (relative vs absolute, trailing slash,
+    symlink) must keep the same namespace, or replayed batches stop being
+    recognized by the commit log and get double-ingested.  Non-local
+    checkpoint URIs (hdfs://, s3a://...) only get the trailing-separator
+    strip — realpath is a local-filesystem concept."""
+    import hashlib
+    import os
+
+    ident = checkpoint_dir.rstrip("/")
+    if "://" not in ident or ident.startswith("file://"):
+        local = ident[len("file://"):] if ident.startswith("file://") else ident
+        ident = os.path.realpath(local)
+    return hashlib.md5(ident.encode("utf-8")).hexdigest()[:8]
+
+
 def stream_ingest(
     spark: SparkSession,
     input_path: str,
@@ -51,13 +74,7 @@ def stream_ingest(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_path)
 
-    # namespace batch tokens by the streaming checkpoint identity: micro-
-    # batch ids restart from 0 for a NEW checkpoint, and a fresh stream
-    # pointed at an EXISTING state_dir must not have its batch 0 mistaken
-    # for the old stream's committed batch 0
-    import hashlib
-
-    stream_ns = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:8]
+    stream_ns = checkpoint_namespace(checkpoint_dir)
 
     def _fold(batch_df, batch_id: int) -> None:
         # the namespaced batch_id makes replayed deliveries idempotent

@@ -95,3 +95,40 @@ def test_returned_scores_are_exact(spark, vectors, queries):
     assert rows
     for r in rows:
         assert truth[(r["query_id"], r["vec_id"])] == r["cos"]
+
+
+def test_mask_join_path_equals_literal_path(spark, vectors, queries, monkeypatch):
+    """VERDICT r03 item 6: the broadcast mask-join probe strategy (large
+    probe sets) must return exactly what the inlined-literal strategy
+    returns — same semantics, different physical plan."""
+    import sparkdedup.ann as ann
+
+    idx = build_index(vectors, n_bits=4, dim_stride=16, dim=DIM)
+    want = _res(search(idx, queries, k=10, n_bits=4, dim_stride=16, probes=2, dim=DIM))
+    monkeypatch.setattr(ann, "_PROBE_LITERAL_MAX", 0)  # force the DF path
+    got = _res(search(idx, queries, k=10, n_bits=4, dim_stride=16, probes=2, dim=DIM))
+    assert got == want
+
+
+def test_wide_bucket_config_runs(spark, vectors, queries):
+    """n_bits=32 / probes=3 (5,489 probe buckets) must RUN via the
+    mask-join path instead of stalling the planner with ~5.5k literal
+    expression columns (VERDICT r03: plan-size hazard)."""
+    from sparkdedup.ann import _probe_masks
+
+    assert len(_probe_masks(32, 3)) == 1 + 32 + 496 + 4960
+    idx = build_index(vectors, n_bits=32, dim_stride=2, dim=DIM)
+    out = search(idx, queries, k=5, n_bits=32, dim_stride=2, probes=3, dim=DIM)
+    rows = out.collect()
+    # sanity only: buckets are near-unique at n_bits=32, so few neighbors
+    # are reachable — the guarantee under test is "plans and runs"
+    assert all(r["rank"] <= 5 for r in rows)
+
+
+def test_probe_mask_cap_raises(spark, vectors, queries, monkeypatch):
+    import sparkdedup.ann as ann
+
+    monkeypatch.setattr(ann, "_PROBE_MASK_MAX", 10)
+    idx = build_index(vectors, n_bits=4, dim_stride=16, dim=DIM)
+    with pytest.raises(ValueError, match="no longer an approximate search"):
+        search(idx, queries, k=5, n_bits=4, dim_stride=16, probes=4, dim=DIM)

@@ -72,3 +72,25 @@ def test_read_corpus_catalog_table(spark):
     df = read_corpus(spark, "corpus_tbl", fmt="table")
     assert {r["doc_id"] for r in df.select("doc_id").collect()} == {1, 2}
     assert "text" in df.columns
+
+
+def test_read_corpus_noncastable_id_raises(spark, tmp_path):
+    """ADVICE r03: a non-numeric string id column must fail loudly, not
+    silently cast every doc_id to NULL and cluster garbage."""
+    p = str(tmp_path / "corpus_badid")
+    spark.createDataFrame(
+        [("doc-a", "hello"), ("doc-b", "world")], "id string, text string"
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="not castable to long"):
+        read_corpus(spark, p)
+
+
+def test_read_corpus_numeric_string_id_ok(spark, tmp_path):
+    """Numeric STRINGS (the common CSV case) cast cleanly and must pass
+    the null-introduction check."""
+    p = str(tmp_path / "corpus_strid")
+    spark.createDataFrame(
+        [("7", "hello"), ("8", "world")], "id string, text string"
+    ).write.parquet(p)
+    df = read_corpus(spark, p)
+    assert {r["doc_id"] for r in df.select("doc_id").collect()} == {7, 8}

@@ -106,3 +106,28 @@ def test_stream_restart_exactly_once(spark, tmp_path):
         for r in out["assignments"].select("doc_id", "cluster_id").collect()
     }
     assert got == want
+
+
+def test_checkpoint_namespace_spelling_invariance(tmp_path, monkeypatch):
+    """ADVICE r03: the replay-protection namespace must be invariant to
+    how the same local checkpoint dir is spelled — otherwise a restart
+    with a different spelling defeats commit-log replay recognition and
+    double-ingests replayed batches."""
+    from sparkdedup.streaming import checkpoint_namespace
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    ns = checkpoint_namespace(str(d))
+    assert checkpoint_namespace(str(d) + "/") == ns
+    assert checkpoint_namespace("file://" + str(d)) == ns
+    monkeypatch.chdir(tmp_path)
+    assert checkpoint_namespace("ckpt") == ns
+    link = tmp_path / "ckpt_link"
+    link.symlink_to(d)
+    assert checkpoint_namespace(str(link)) == ns
+    # different dirs still get different namespaces
+    other = tmp_path / "ckpt2"
+    other.mkdir()
+    assert checkpoint_namespace(str(other)) != ns
+    # remote URIs: strip trailing separator only
+    assert checkpoint_namespace("hdfs://nn/ck/") == checkpoint_namespace("hdfs://nn/ck")

@@ -145,3 +145,30 @@ def test_fingerprint_batch_property():
             assert got[i] == want
 
     _prop()
+
+
+def test_fingerprint_batch_chunked_parity(monkeypatch):
+    """ADVICE r03: the byte-budget sub-batching inside fingerprint_batch
+    must not change any output — force pathological chunk boundaries
+    (every doc its own chunk, and mid-list splits) and compare to the
+    unchunked kernel + the scalar spec."""
+    import sparkdedup.functions.textstats as ts
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 8,
+        None,
+        "",
+        "short",
+        "pack my box with five dozen liquor jugs " * 5,
+        "x" * 100,
+        None,
+        "sphinx of black quartz judge my vow " * 3,
+    ]
+    want = ts.fingerprint_batch(texts, 16, 4)  # default ~48MB: one chunk
+    for budget in (1, 50, 200):
+        monkeypatch.setattr(ts, "_FP_CHUNK_BYTES", budget)
+        assert ts.fingerprint_batch(texts, 16, 4) == want
+    monkeypatch.undo()
+    for t, w in zip(texts, want):
+        scalar = None if t is None else ts.rolling_fingerprint_text(str(t), 16, 4)
+        assert w == scalar
