@@ -1,11 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed via Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (image/audio libs are not in
-this container): ``decode_image_stub`` produces a deterministic fake
-"pixel summary" from the bytes so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and testable; swap
-``_decode_*`` for PIL/torchaudio kernels in production.
+Decode kernels (VERDICT r03 item 5):
+
+  * PNG payloads are decoded FOR REAL — pure stdlib-zlib + numpy codec
+    (sparkdedup.functions.png), 8-bit gray/RGB/RGBA, all five scanline
+    filters, CRC-checked.  ``decode_features`` pools a decoded image to
+    its per-channel mean.
+  * JPEG payloads raise NotImplementedError (jpeg entropy decode needs a
+    real library; PIL is not in this container) — declared stub.
+  * Other payloads keep the deterministic fake "pixel summary" so the
+    Spark-side plumbing — schema, partitioning, UDF signature, batch
+    shape — stays testable for the not-yet-real modalities
+    (audio/video); swap ``_decode_*`` for torchaudio/decord kernels in
+    production.
 
 Usage:
     meta = media_metadata(df, "payload")           # size/magic/mime/sha
@@ -79,14 +87,19 @@ def media_metadata(df: DataFrame, bin_col: str) -> DataFrame:
 
 
 def _decode_image(data: bytes) -> np.ndarray:
-    """STUB decode: deterministic fake 8x8 'thumbnail' derived from a
-    seeded hash of the bytes.  Replace with a real decoder (PIL) in
-    production — NotImplementedError would be raised for real use:
+    """PNG: REAL decode -> (h, w, channels) float64 pixel array.
+    JPEG: NotImplementedError (entropy decode needs a real library).
+    Anything else: deterministic fake 8x8 'thumbnail' from a seeded hash
+    of the bytes — keeps plumbing tests running for the modalities whose
+    kernels are still stubs (audio/video)."""
+    from sparkdedup.functions.png import SIGNATURE, decode_png
 
-        raise NotImplementedError("image decode requires PIL")
-
-    We return the deterministic fake so batch shape / schema tests run.
-    """
+    if data[: len(SIGNATURE)] == SIGNATURE:
+        return decode_png(data).astype(np.float64)
+    if data[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "jpeg decode requires a real image library (PIL); PNG decodes natively"
+        )
     h = hashlib.sha256(data).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
     return rng.random((8, 8), dtype=np.float64)
@@ -101,13 +114,26 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_features(df: DataFrame, bin_col: str, id_col: str = "media_id") -> DataFrame:
+def decode_features(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
     """binary -> fixed-dim feature vector via mapInPandas (Arrow batches).
 
     Partition-parallel: each task decodes its batch independently; no
     shuffle is introduced (narrow transformation), so feature extraction
     scales linearly with input partitions at 100 TB.
+
+    on_error: 'raise' fails the job on an undecodable payload (corrupt
+    PNG, unsupported modality) — the right default for curated inputs;
+    'null' emits a NULL feature row instead, the web-scale policy where
+    one corrupt blob among 10^12 must not kill the job (count NULLs
+    downstream for the drop audit).
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,9 +141,19 @@ def decode_features(df: DataFrame, bin_col: str, id_col: str = "media_id") -> Da
             for b in pdf[bin_col]:
                 if b is None:
                     feats.append(None)
-                else:
+                    continue
+                try:
                     img = _decode_image(bytes(b))
-                    feats.append(img.mean(axis=0).tolist())  # 8-dim pooled
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    feats.append(None)
+                    continue
+                if img.ndim == 3:
+                    # real decoded image: per-channel mean pooling
+                    feats.append(img.mean(axis=(0, 1)).tolist())
+                else:
+                    feats.append(img.mean(axis=0).tolist())  # 8-dim stub
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],

@@ -4,10 +4,20 @@ public algorithm), replacing the reference's in-core union-find
 (union_find.py:3-23; SURVEY.md §2.8 C1).
 
 Each round is two shuffles (groupBy min + join); convergence in
-O(log n) rounds.  Lineage is cut with ``localCheckpoint`` every round so
-the iterative plan doesn't snowball (SURVEY.md §4 iterative row).  On a
-real cluster the per-round materialization would go to a checkpoint table
-instead (see sparkdedup/checkpoint.py).
+O(log n) rounds.  Per-round materialization has two modes (VERDICT r03
+item 4):
+
+  * default: ``localCheckpoint`` — the right local-mode call (cuts the
+    iterative plan so it doesn't snowball, SURVEY.md §4 iterative row),
+    but its blocks are NON-REPLICATED executor memory: on a real cluster,
+    losing an executor mid-loop loses blocks and kills the job;
+  * with a ``ckpt`` (CheckpointManager with a root): every round is a
+    DURABLE checkpoint table (``cc_round_NNN``) — executor loss recomputes
+    the round from the previous round's table, and a killed/crashed JOB
+    resumes by replaying committed round tables (cheap reads, no
+    recompute) up to the first uncommitted round.  This closes the
+    north-rule "any stage can resume" story for the one stage that was
+    memory-only.
 
 Output labels each node with its component's MINIMUM doc_id — which is
 exactly the canonical form needed to reproduce the reference's dense
@@ -72,12 +82,33 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    ckpt=None,
+    stage_prefix: str = "cc",
+) -> DataFrame:
     """edges(src, dst) -> star edges (doc_id, root) where root is the
     component min; component-min nodes themselves are NOT included (they
-    have no outgoing star edge)."""
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    have no outgoing star edge).
+
+    ckpt: optional CheckpointManager — when it has a root, each round
+    materializes as the durable table ``{stage_prefix}_round_NNN`` instead
+    of a localCheckpoint, making the loop resumable and executor-loss-safe
+    (see module docstring)."""
+    durable = ckpt is not None and getattr(ckpt, "root", None) is not None
+
+    def _cut(build, name: str) -> DataFrame:
+        # build is a thunk: in durable mode a committed round reloads
+        # from its table WITHOUT constructing (or running) the round plan
+        if durable:
+            return ckpt.stage(name, build)
+        return build().localCheckpoint(eager=True)
+
+    e = _cut(
+        lambda: edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct(),
+        f"{stage_prefix}_round_000",
+    )
     prev = _fingerprint(e)
     # Size the loop's shuffles to the measured edge count: each round is a
     # fixed handful of small shuffles, and running them at the session's
@@ -107,8 +138,12 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         # a driver replan between each — measured ~58 extra jobs / ~15 s
         # of pure scheduling churn per flagship run at test scale.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        for _ in range(max_rounds):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        for rnd in range(1, max_rounds + 1):
+            prev_e = e
+            e = _cut(
+                lambda: _small_star(_large_star(prev_e)),
+                f"{stage_prefix}_round_{rnd:03d}",
+            )
             cur = _fingerprint(e)
             if cur == prev:
                 break

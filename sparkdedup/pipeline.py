@@ -148,7 +148,11 @@ class DedupPipeline:
         return verify_pairs(self.pairs(sigs), sigs, c.threshold, c.num_perm)
 
     def cluster(self, docs_ids: DataFrame, edges: DataFrame) -> DataFrame:
-        star = connected_components(edges)
+        # with a checkpoint dir, CC rounds materialize as durable tables
+        # (cc_round_NNN) instead of non-replicated localCheckpoint blocks:
+        # executor loss mid-loop recomputes one round, a killed job
+        # resumes from the committed rounds (VERDICT r03 item 4)
+        star = connected_components(edges, ckpt=self.ckpt)
         return assignments_from_components(docs_ids, star, dense=self.dense_labels)
 
     # --- end-to-end ---

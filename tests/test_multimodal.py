@@ -37,11 +37,15 @@ def test_media_metadata(spark):
 
 
 def test_decode_features_schema_and_determinism(spark):
+    # on_error='null': the fixture's jpeg row is a declared decode stub
+    # (raises under the default policy — pinned in the jpeg test below)
     df = _media_df(spark)
-    out1 = {r["media_id"]: r for r in decode_features(df, "payload").collect()}
-    out2 = {r["media_id"]: r for r in decode_features(df, "payload").collect()}
+    out1 = {r["media_id"]: r for r in decode_features(df, "payload", on_error="null").collect()}
+    out2 = {r["media_id"]: r for r in decode_features(df, "payload", on_error="null").collect()}
+    # row 0 has PNG MAGIC but not the full 8-byte signature -> stub path
     assert out1[0]["feat_dim"] == 8
     assert out1[0]["feature"] == out2[0]["feature"]  # deterministic stub
+    assert out1[1]["feature"] is None  # jpeg: declared stub -> null policy
     assert out1[3]["feature"] is None
 
 
@@ -65,3 +69,57 @@ def test_sniff_mime_batch_matches_scalar():
     got = sniff_mime_batch(pd.Series(payloads, dtype=object))
     for i, p in enumerate(payloads):
         assert got.iloc[i] == sniff_mime(p) or (p is None and got.iloc[i] is None)
+
+
+def test_decode_features_real_png(spark):
+    """PNG payloads decode FOR REAL: per-channel means of a known 4x4
+    RGB image must come back exactly (VERDICT r03 item 5)."""
+    import numpy as np
+
+    from sparkdedup.functions.png import encode_png
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_png(img, filter_type=4)))],
+        "media_id long, payload binary",
+    )
+    out = decode_features(df, "payload").collect()
+    assert len(out) == 1
+    assert out[0]["feat_dim"] == 3
+    want = img.astype(np.float64).mean(axis=(0, 1))
+    assert np.allclose(out[0]["feature"], want)
+
+
+def test_decode_features_jpeg_raises_and_null_policy(spark):
+    """JPEG is a declared stub: on_error='raise' (default) fails the
+    job; on_error='null' emits a NULL feature row (the web-scale
+    one-corrupt-blob-must-not-kill-the-job policy)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0" + b"y" * 50), (2, b"plainbytes")],
+        "media_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="jpeg decode requires"):
+        decode_features(df, "payload").collect()
+    out = {r["media_id"]: r for r in decode_features(df, "payload", on_error="null").collect()}
+    assert out[1]["feature"] is None
+    assert out[2]["feature"] is not None  # stub path unaffected
+
+
+def test_decode_features_corrupt_png_null_policy(spark):
+    """A corrupt PNG (bad CRC) under on_error='null' becomes a NULL row,
+    not a job failure."""
+    import numpy as np
+
+    from sparkdedup.functions.png import encode_png
+
+    good = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    df = spark.createDataFrame(
+        [(0, good), (1, bad)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in decode_features(df, "payload", on_error="null").collect()}
+    assert out[0]["feature"] is not None
+    assert out[1]["feature"] is None
