@@ -30,9 +30,17 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
-DATA = os.path.join(ROOT, ".benchdata", "webtext_bench.parquet")
-N_ROWS = int(os.environ.get("SCALE_BENCH_ROWS", "200000"))
+N_ROWS = int(os.environ.get("SCALE_BENCH_ROWS", "300000"))
 N_REPS = int(os.environ.get("SCALE_BENCH_REPS", "3"))
+# legacy fixture name (300k rows, rounds 1-3); sized name otherwise so
+# changing SCALE_BENCH_ROWS actually changes the input instead of
+# silently reusing whatever fixture exists
+_LEGACY = os.path.join(ROOT, ".benchdata", "webtext_bench.parquet")
+DATA = (
+    _LEGACY
+    if N_ROWS == 300_000
+    else os.path.join(ROOT, ".benchdata", f"webtext_bench_{N_ROWS}.parquet")
+)
 
 
 def ensure_data() -> None:
@@ -175,6 +183,30 @@ def main() -> None:
     thr32 = round(n_docs / med[32], 1)
     eff = round((thr32 / thr8) / 4.0, 3)
 
+    # anchor-normalized efficiency (VERDICT r03 item 3): divide the Spark
+    # efficiency by the same-size no-Spark multiprocessing kernel anchor —
+    # what THIS HOST'S memory system allows any 32-way compute to reach.
+    # engine/anchor ~ 1.0 means the engine loses nothing beyond the host
+    # ceiling; the anchor is the honest sandbox-achievable bar.
+    anchor = None
+    for name in (f"kernel_scaling_{N_ROWS}.json", "kernel_scaling.json"):
+        p = os.path.join(ROOT, "BENCH", name)
+        if os.path.exists(p):
+            with open(p) as f:
+                k = json.load(f)
+            if "efficiency_8_to_32" in k:
+                anchor = {"file": name, "n_docs": k["n_docs"],
+                          "efficiency": k["efficiency_8_to_32"]}
+                break
+    anchor_ratio = (
+        round(eff / anchor["efficiency"], 3) if anchor and anchor["efficiency"] else None
+    )
+    anchor_desc = (
+        f"{anchor['file']}: {anchor['efficiency']} at {anchor['n_docs']:,} docs"
+        if anchor
+        else "no kernel_scaling artifact found"
+    )
+
     def runs_table(c: int) -> str:
         return "\n".join(
             f"| local[{c}] run {i + 1} | {r['wall_sec']} | {r['docs_per_sec']} |"
@@ -214,6 +246,14 @@ of each wall was host contention (this VM also faults in fresh memory at
 
 **Scaling efficiency (thr32/thr8)/4 = {eff}** (target >= 0.8, BASELINE.json).
 
+**Anchor-normalized efficiency = {anchor_ratio}** — Spark efficiency
+divided by the no-Spark multiprocessing kernel anchor ({anchor_desc}).
+The anchor measures what this host's serialized page-fault path / single
+memory bus permits ANY 32-way compute to reach; engine-over-anchor ~ 1.0
+means the engine itself adds no scaling loss beyond the host ceiling.
+See SCALING.md for the full attribution and the real-cluster carry-over
+argument.
+
 Caveats: single-JVM local mode shares one driver, one shuffle service and
 one memory bus across "executors", so this understates multi-node scaling
 for the shuffle-heavy stages; both runs pay identical fixed costs
@@ -226,7 +266,8 @@ and kernel_scaling.json for the no-Spark multiprocessing anchor.
 """
         )
     print(json.dumps({"efficiency": eff, "thr8": thr8, "thr32": thr32,
-                      "median_wall": med}))
+                      "median_wall": med, "anchor": anchor,
+                      "anchor_normalized_efficiency": anchor_ratio}))
 
 
 if __name__ == "__main__":

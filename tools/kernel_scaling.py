@@ -10,7 +10,9 @@ inefficiency in the Spark numbers is attributable to runtime/host effects
 (GC, page-fault serialization, one shared memory bus), not to the
 engine's parallel decomposition.
 
-Usage: python tools/kernel_scaling.py [n_docs]   (default 60000)
+Usage: python tools/kernel_scaling.py [n_docs] [procs_csv]
+       (defaults: 60000 docs, levels 1,8,32; pass e.g. "8,32" to skip the
+       single-process level at sizes where it takes tens of minutes)
 """
 
 from __future__ import annotations
@@ -25,6 +27,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+LEVELS = tuple(
+    int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else ("1", "8", "32"))
+)
 SHINGLE, NUM_PERM, SEED = 6, 64, 42
 
 
@@ -43,12 +48,16 @@ def _work(texts: list[str]) -> int:
 def main() -> None:
     import pandas as pd
 
-    pdf = pd.read_parquet(os.path.join(ROOT, ".benchdata", "webtext_bench.parquet"),
-                          columns=["text"]).head(N_DOCS)
+    # prefer a same-size fixture (scale_bench writes webtext_bench_<n>)
+    sized = os.path.join(ROOT, ".benchdata", f"webtext_bench_{N_DOCS}.parquet")
+    src = sized if os.path.exists(sized) else os.path.join(
+        ROOT, ".benchdata", "webtext_bench.parquet"
+    )
+    pdf = pd.read_parquet(src, columns=["text"]).head(N_DOCS)
     texts = pdf["text"].astype(str).tolist()
 
     results = {}
-    for procs in (1, 8, 32):
+    for procs in LEVELS:
         chunks = [texts[i::procs] for i in range(procs)]
         # warm pass: fault in every worker's pages outside the window
         with mp.get_context("spawn").Pool(procs) as pool:
@@ -58,17 +67,17 @@ def main() -> None:
             wall = time.time() - t0
         results[procs] = {
             "wall_sec": round(wall, 2),
-            "docs_per_sec": round(N_DOCS / wall, 1),
+            "docs_per_sec": round(len(texts) / wall, 1),
         }
         print(json.dumps({"procs": procs, **results[procs]}), flush=True)
-    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
-    out = {
-        "n_docs": N_DOCS,
-        "per_procs": results,
-        "efficiency_8_to_32": round(eff, 3),
-    }
+    out = {"n_docs": N_DOCS, "n_texts": len(texts), "per_procs": results}
+    if 8 in results and 32 in results:
+        eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+        out["efficiency_8_to_32"] = round(eff, 3)
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "kernel_scaling.json"), "w") as f:
+    # per-size artifact; the unsized name stays the original 60k anchor
+    name = "kernel_scaling.json" if N_DOCS == 60000 else f"kernel_scaling_{N_DOCS}.json"
+    with open(os.path.join(ROOT, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
