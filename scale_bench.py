@@ -230,11 +230,11 @@ runs ({runs[8][0]['edges']:,} edges, {runs[8][0]['clusters']:,} clusters).
 Sandbox proxy for N vs 4N executors (no real cluster available): same job,
 same input, only parallelism varies.  Runs are INTERLEAVED
 (8,32,8,32,...) and the efficiency is computed from MEDIANS of {N_REPS}
-runs per level; per-run child-CPU seconds and host steal%% bound how much
+runs per level; per-run child-CPU seconds and host steal% bound how much
 of each wall was host contention (this VM also faults in fresh memory at
 ~6 MB/s until warm, which penalizes every fresh JVM equally).
 
-| run | wall (s) | docs/sec | cpu (s) | cpu util | steal %% |
+| run | wall (s) | docs/sec | cpu (s) | cpu util | steal % |
 |---|---|---|---|---|---|
 {runs_table(8)}
 {runs_table(32)}
