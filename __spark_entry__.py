@@ -220,6 +220,87 @@ def _dedup_substring_spans(spark, sf_dir) -> DataFrame:
     return substring_edges(pairs, d, min_span=12).select("src", "dst", "lcs_len")
 
 
+def _dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup dedup (task brief's last dedup mode):
+    sign-LSH bucketed candidate pairs -> exact cosine >= 0.99 -> connected
+    components -> min-id cluster labels.  The synthetic embeddings have
+    no natural near-dups (max in-bucket cosine ~0.49), so the query
+    plants deterministic duplicates — identical copies of vec_id<40
+    under +10000 and of vec_id<20 under +20000 — giving the pipeline
+    real 2- and 3-node components to find and merge.  The DuckDB oracle
+    rebuilds the same graph and clusters it with a recursive-CTE
+    transitive closure — an independent clustering algorithm, so the
+    hash match certifies the CC operator, not a snapshot.
+
+    Scale shape: the bucket equi-join is the only shuffle over pairs
+    (identical vectors share buckets by construction); cosine is the
+    unrolled JVM expression; CC is the same O(log n) rounds operator the
+    flagship uses."""
+    from sparkdedup.ann import bucket_col, cosine_col
+    from sparkdedup.operators.connected_components import (
+        assignments_from_components,
+        connected_components,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    alldocs = (
+        e.unionByName(
+            e.where(F.col("vec_id") < 40).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        ).unionByName(
+            e.where(F.col("vec_id") < 20).select(
+                (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    b = alldocs.select(
+        "vec_id", "embedding", bucket_col("embedding", 4, 16).alias("bucket")
+    )
+    l = b.select("bucket", F.col("vec_id").alias("src"), F.col("embedding").alias("_ea"))
+    r = b.select("bucket", F.col("vec_id").alias("dst"), F.col("embedding").alias("_eb"))
+    edges = (
+        l.join(r, "bucket")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.round(cosine_col("_ea", "_eb", 64), 4).alias("cos"))
+        .where(F.col("cos") >= 0.99)
+    )
+    star = connected_components(edges)
+    assign = assignments_from_components(
+        alldocs.select(F.col("vec_id").alias("doc_id")), star, dense=False
+    )
+    return assign.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+_COS_SQL = (
+    "round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /"
+    " (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *"
+    "  sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)"
+)
+
+_DEDUP_EMB_ORACLE = (
+    "WITH RECURSIVE alldocs AS ("
+    " SELECT vec_id, embedding FROM embeddings"
+    " UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 40"
+    " UNION ALL SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id < 20),"
+    " b AS (SELECT vec_id, embedding,"
+    " (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END"
+    "  + CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END"
+    "  + CASE WHEN embedding[33] > 0 THEN 2 ELSE 0 END"
+    "  + CASE WHEN embedding[49] > 0 THEN 1 ELSE 0 END) AS bucket FROM alldocs),"
+    " e AS (SELECT a.vec_id AS src, c.vec_id AS dst"
+    " FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id"
+    f" WHERE {_COS_SQL} >= 0.99),"
+    " sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),"
+    " reach(u, v) AS (SELECT u, v FROM sym"
+    " UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),"
+    " comp AS (SELECT u AS vec_id, least(min(v), u) AS cluster_id"
+    " FROM reach GROUP BY u)"
+    " SELECT a.vec_id, coalesce(c.cluster_id, a.vec_id) AS cluster_id"
+    " FROM alldocs a LEFT JOIN comp c USING (vec_id)"
+)
+
+
 def _sim_ann_batch(spark, sf_dir) -> DataFrame:
     """Batch multi-query ANN through the real index path (sparkdedup.ann):
     sign-LSH bucket table + multi-probe (Hamming<=1) bucket join + top-k
@@ -894,6 +975,8 @@ _q(
     " WHERE i + l - 1 <= len(ta) AND contains(tb, substr(ta, i, l))"
     " GROUP BY src, dst",
 )
+
+_q("dedup_embedding_cosine", _dedup_embedding_cosine, _DEDUP_EMB_ORACLE)
 
 # --- similarity search ---
 _q(
