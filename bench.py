@@ -31,53 +31,9 @@ import os
 import sys
 import time
 
-_HZ = float(os.sysconf("SC_CLK_TCK"))
-
-
-def _box_cpu() -> tuple[float, float, float]:
-    """(busy_sec, steal_sec, total_sec) across all cores from /proc/stat."""
-    with open("/proc/stat") as f:
-        vals = [int(x) for x in f.readline().split()[1:]]
-    idle = (vals[3] + vals[4]) / _HZ  # idle + iowait
-    steal = (vals[7] if len(vals) > 7 else 0) / _HZ
-    total = sum(vals) / _HZ
-    return total - idle, steal, total
-
-
-def _tree_cpu() -> float:
-    """CPU seconds consumed so far by THIS process and every live
-    descendant (the python driver, the py4j-launched JVM, pyspark worker
-    daemons), via one /proc walk.  Children that exited mid-window are
-    missed until reaped — acceptable here because the JVM and worker
-    daemons persist for the whole bench; the result is used as a LOWER
-    bound on "our" CPU, i.e. an upper bound on other_cores."""
-    me = os.getpid()
-    ppid_of: dict[int, int] = {}
-    cpu_of: dict[int, float] = {}
-    for pid_s in os.listdir("/proc"):
-        if not pid_s.isdigit():
-            continue
-        try:
-            with open(f"/proc/{pid_s}/stat") as f:
-                st = f.read()
-        except OSError:
-            continue
-        # fields after the parenthesized comm (which may contain spaces)
-        rest = st.rsplit(")", 1)[1].split()
-        pid = int(pid_s)
-        ppid_of[pid] = int(rest[1])
-        cpu_of[pid] = (int(rest[11]) + int(rest[12])) / _HZ  # utime+stime
-    total = 0.0
-    for pid in cpu_of:
-        p = pid
-        for _ in range(64):  # ancestor chain
-            if p == me:
-                total += cpu_of[pid]
-                break
-            p = ppid_of.get(p, 0)
-            if p <= 1:
-                break
-    return total
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from sparkdedup.hosthealth import box_cpu as _box_cpu  # noqa: E402
+from sparkdedup.hosthealth import tree_cpu as _tree_cpu  # noqa: E402
 
 
 def _measure_pass(queries, headline, spark, sf_dir) -> dict:
@@ -105,11 +61,15 @@ def _measure_pass(queries, headline, spark, sf_dir) -> dict:
     }
 
 
-def _pass_invalid(p: dict, cpus: int) -> str | None:
+def _pass_invalid(p: dict) -> str | None:
+    # threshold on the HOST core count (same basis as cpu_util), not the
+    # Spark parallelism: SPARK_GRAFT_CPUS=8 on a 32-core box must not let
+    # routine daemons spuriously invalidate passes (review r04)
+    host_cores = os.cpu_count() or 1
     if p["steal_pct"] > 3.0:
         return f"steal_pct {p['steal_pct']} > 3"
-    if p["other_cores"] > cpus / 4:
-        return f"other_cores {p['other_cores']} > {cpus / 4} (concurrent host load)"
+    if p["other_cores"] > host_cores / 4:
+        return f"other_cores {p['other_cores']} > {host_cores / 4} (concurrent host load)"
     return None
 
 
@@ -121,7 +81,6 @@ def main() -> None:
     # loadavg BEFORE the session exists = external load only
     load_before = os.getloadavg()
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from sparkdedup.pipeline import build_spark
 
     import __spark_entry__ as entry_mod
@@ -168,7 +127,7 @@ def main() -> None:
             # otherwise serve later passes from cache and overstate the engine
             spark.catalog.clearCache()
         p = _measure_pass(all_queries, headline, spark, sf_dir)
-        reason = _pass_invalid(p, cpus)
+        reason = _pass_invalid(p)
         if reason is None:
             passes.append(p)
         else:
@@ -186,7 +145,16 @@ def main() -> None:
         if len(passes) >= 2:
             break
 
-    usable = passes if passes else [min(invalid, key=lambda p: p["queries"][flagship_q])]
+    # all-invalid fallback: still print SOMETHING (the least-contended
+    # pass) so the round has a number, but report it as a fallback —
+    # never under valid_passes — and keep measurement_valid false so no
+    # ledger can mistake it for data (review r04)
+    fallback = None
+    if passes:
+        usable = passes
+    else:
+        fallback = min(invalid, key=lambda p: p["queries"][flagship_q])
+        usable = [fallback]
     timings = {name: min(p["queries"][name] for p in usable) for name in headline}
 
     total = round(sum(timings.values()), 3)
@@ -204,11 +172,16 @@ def main() -> None:
         "host_health": {
             "loadavg_before": [round(x, 2) for x in load_before],
             "valid_passes": [
-                {k: v for k, v in p.items() if k != "queries"} for p in usable
+                {k: v for k, v in p.items() if k != "queries"} for p in passes
             ],
             "invalid_passes": [
                 {k: v for k, v in p.items() if k != "queries"} for p in invalid
             ],
+            "fallback_pass": (
+                {k: v for k, v in fallback.items() if k != "queries"}
+                if fallback
+                else None
+            ),
             "measurement_valid": bool(passes) and len(passes) >= 2,
         },
         # measurement protocol, stated in-band so cross-round comparisons

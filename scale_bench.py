@@ -45,6 +45,19 @@ DATA = (
 
 def ensure_data() -> None:
     if os.path.exists(DATA):
+        # validate the fixture actually has N_ROWS rows — the legacy
+        # unsized filename in particular may hold a different size than
+        # today's default (review r04: don't silently benchmark the
+        # wrong corpus and label the report with N_ROWS)
+        import pyarrow.parquet as pq
+
+        have = pq.ParquetFile(DATA).metadata.num_rows
+        if have != N_ROWS:
+            raise SystemExit(
+                f"fixture {DATA} has {have} rows, expected {N_ROWS} "
+                "(SCALE_BENCH_ROWS): delete it or set SCALE_BENCH_ROWS "
+                f"to {have}"
+            )
         return
     os.makedirs(os.path.dirname(DATA), exist_ok=True)
     sys.path.insert(0, ROOT)
@@ -127,14 +140,11 @@ def worker(cpus: int) -> None:
 
 
 def _cpu_snapshot() -> tuple[float, float, float]:
-    """(busy_sec, steal_sec, total_sec) across all cores from /proc/stat."""
-    with open("/proc/stat") as f:
-        vals = [int(x) for x in f.readline().split()[1:]]
-    hz = float(os.sysconf("SC_CLK_TCK"))
-    idle = (vals[3] + vals[4]) / hz  # idle + iowait
-    steal = (vals[7] if len(vals) > 7 else 0) / hz
-    total = sum(vals) / hz
-    return total - idle, steal, total
+    """(busy_sec, steal_sec, total_sec) — shared probe, see hosthealth."""
+    sys.path.insert(0, ROOT)
+    from sparkdedup.hosthealth import box_cpu
+
+    return box_cpu()
 
 
 def _one_run(cpus: int) -> dict:

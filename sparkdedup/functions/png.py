@@ -93,9 +93,21 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, channels) uint8.  Raises ValueError on
-    malformed input or on the unsupported subset (palette, 16-bit,
-    interlaced) — fail loudly, never return garbage pixels."""
+    """PNG bytes -> (h, w, channels) uint8.  Raises ValueError on ANY
+    malformed input (including corrupt zlib streams and truncated
+    chunks, which the stdlib surfaces as zlib.error/struct.error) or on
+    the unsupported subset (palette, 16-bit, interlaced) — fail loudly
+    with ONE exception type, never return garbage pixels.  The single
+    exception type is load-bearing: decode_features' on_error='null'
+    web-scale policy catches ValueError, and a corrupt blob that raised
+    anything else would kill the whole job."""
+    try:
+        return _decode_png(data)
+    except (zlib.error, struct.error) as ex:
+        raise ValueError(f"malformed PNG: {ex}") from ex
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

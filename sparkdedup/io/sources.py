@@ -59,20 +59,27 @@ def check_id_collisions(df: DataFrame, id_col: str = "doc_id", source_col: str =
 
 
 def _check_cast_nulls(df: DataFrame, icol: str) -> None:
-    """Fail loudly when the id-column cast to long manufactured NULLs
-    (ADVICE r03): a non-numeric string id column casts to NULL for every
-    row, and normalize() only filters null TEXT — the pipeline would run
-    to completion with every doc collapsed onto doc_id=NULL, i.e.
-    silently wrong clustering.  Numeric source types cast losslessly*, so
-    the validation scan is skipped for them (*longs always; double ids
-    would be a schema bug worth the scan anyway, and doubles are not
-    integral so they take the checked path).  Mirrors
-    check_id_collisions' fail-loud stance; one column-pruned scan on the
-    CLI csv/json/table ingest path only."""
+    """Fail loudly when the id-column cast to long would manufacture
+    NULLs (ADVICE r03): a non-numeric string id column casts to NULL for
+    every row, and normalize() only filters null TEXT — the pipeline
+    would run to completion with every doc collapsed onto doc_id=NULL,
+    i.e. silently wrong clustering.  Numeric source types cast
+    losslessly, so the validation scan is skipped for them.  Runs on the
+    PRE-cast frame with a temp column — inspecting the output frame
+    would be defeated when the id column is literally named 'doc_id'
+    (withColumn replaces it, so both the dtype and the null-compare
+    would see the already-cast column).  Mirrors check_id_collisions'
+    fail-loud stance; one column-pruned scan on the CLI csv/json/table
+    ingest path only."""
     src_type = dict(df.dtypes)[icol]
     if src_type in ("tinyint", "smallint", "int", "bigint"):
         return
-    bad = df.where(F.col(icol).isNotNull() & F.col("doc_id").isNull()).limit(1).count()
+    probe = df.withColumn("_cast_probe", F.col(icol).try_cast("long"))
+    bad = (
+        probe.where(F.col(icol).isNotNull() & F.col("_cast_probe").isNull())
+        .limit(1)
+        .count()
+    )
     if bad:
         raise ValueError(
             f"id column {icol!r} (type {src_type}) is not castable to long: "
@@ -115,8 +122,8 @@ def read_corpus(
         # with an opaque CAST_INVALID_INPUT; under non-ANSI it silently
         # NULLs every doc_id.  try_cast + the explicit check below gives
         # one immediate, named failure in both worlds.
+        _check_cast_nulls(df, icol)  # pre-cast frame — see docstring
         out = df.withColumn("doc_id", F.col(icol).try_cast("long"))
-        _check_cast_nulls(out, icol)
     elif "url" in df.columns:
         out = df.withColumn("doc_id", F.xxhash64("url"))
         check_id_collisions(out)

@@ -75,12 +75,22 @@ def stream_ingest(
     stream = reader.parquet(input_path)
 
     stream_ns = checkpoint_namespace(checkpoint_dir)
+    # migration guard (review r04): states written BEFORE the realpath
+    # normalization used md5(raw checkpoint string) as the namespace — a
+    # batch committed under that legacy token must still be recognized as
+    # committed, or the post-upgrade restart of an in-flight stream
+    # double-ingests it
+    import hashlib
+
+    legacy_ns = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:8]
 
     def _fold(batch_df, batch_id: int) -> None:
         # the namespaced batch_id makes replayed deliveries idempotent
         # (commit-log skip); empty batches fold as no-ops
         if batch_df.isEmpty():
             return
+        if legacy_ns != stream_ns and inc._is_committed(f"b{legacy_ns}-{batch_id}"):
+            return  # committed by a pre-upgrade run under the legacy namespace
         inc.ingest_batch(
             batch_df,
             text_col=text_col,

@@ -166,3 +166,30 @@ def test_unsupported_subset_raises():
     )
     with pytest.raises(ValueError, match="palette"):
         decode_png(png)
+
+
+def test_corrupt_zlib_stream_raises_valueerror():
+    """Review r04: corrupt IDAT zlib bytes and truncated chunks must
+    surface as ValueError (the single exception type decode_features'
+    on_error='null' policy relies on), not zlib.error/struct.error."""
+    img = np.random.RandomState(1).randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    png = bytearray(encode_png(img))
+    # corrupt the IDAT payload but keep its CRC consistent so the error
+    # comes from inflate, not the CRC check
+    pos = 8
+    while True:
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        ct = bytes(png[pos + 4 : pos + 8])
+        if ct == b"IDAT":
+            payload = bytearray(png[pos + 8 : pos + 8 + ln])
+            payload[2:] = payload[2:][::-1]  # keep zlib header, scramble body
+            png[pos + 8 : pos + 8 + ln] = payload
+            crc = zlib.crc32(ct + bytes(payload)) & 0xFFFFFFFF
+            png[pos + 8 + ln : pos + 12 + ln] = struct.pack(">I", crc)
+            break
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="malformed PNG|size"):
+        decode_png(bytes(png))
+    # truncated file: chunk header says more bytes than exist
+    with pytest.raises(ValueError, match="truncated|malformed"):
+        decode_png(bytes(encode_png(img))[:30])

@@ -94,3 +94,15 @@ def test_read_corpus_numeric_string_id_ok(spark, tmp_path):
     ).write.parquet(p)
     df = read_corpus(spark, p)
     assert {r["doc_id"] for r in df.select("doc_id").collect()} == {7, 8}
+
+
+def test_read_corpus_bad_id_named_doc_id_raises(spark, tmp_path):
+    """Review r04: validation must not be defeated when the id column is
+    literally named 'doc_id' (withColumn replaces it, so a post-cast
+    check would see the already-cast column and skip)."""
+    p = str(tmp_path / "corpus_docid_str")
+    spark.createDataFrame(
+        [("doc-a", "hello"), ("doc-b", "world")], "doc_id string, text string"
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="not castable to long"):
+        read_corpus(spark, p)

@@ -70,13 +70,21 @@ def main() -> None:
             "docs_per_sec": round(len(texts) / wall, 1),
         }
         print(json.dumps({"procs": procs, **results[procs]}), flush=True)
-    out = {"n_docs": N_DOCS, "n_texts": len(texts), "per_procs": results}
+    # label and file-key by the MEASURED size: head() clips to the
+    # fixture's row count, and a mislabeled anchor would let scale_bench
+    # publish a wrong same-size-comparison claim (review r04)
+    n_actual = len(texts)
+    if n_actual != N_DOCS:
+        print(json.dumps({"warning": f"requested {N_DOCS} docs, fixture has {n_actual}"}))
+    out = {"n_docs": n_actual, "requested_docs": N_DOCS, "per_procs": results}
     if 8 in results and 32 in results:
         eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
         out["efficiency_8_to_32"] = round(eff, 3)
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     # per-size artifact; the unsized name stays the original 60k anchor
-    name = "kernel_scaling.json" if N_DOCS == 60000 else f"kernel_scaling_{N_DOCS}.json"
+    name = (
+        "kernel_scaling.json" if n_actual == 60000 else f"kernel_scaling_{n_actual}.json"
+    )
     with open(os.path.join(ROOT, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
