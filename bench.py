@@ -174,9 +174,10 @@ def main() -> None:
             "valid_passes": [
                 {k: v for k, v in p.items() if k != "queries"} for p in passes
             ],
-            "invalid_passes": [
-                {k: v for k, v in p.items() if k != "queries"} for p in invalid
-            ],
+            # invalid passes KEEP their per-query timings (ADVICE r04):
+            # they are excluded from the headline numbers, but auditing WHY
+            # a pass was 2x slower needs the per-query breakdown
+            "invalid_passes": invalid,
             "fallback_pass": (
                 {k: v for k, v in fallback.items() if k != "queries"}
                 if fallback

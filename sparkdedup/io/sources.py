@@ -75,16 +75,28 @@ def _check_cast_nulls(df: DataFrame, icol: str) -> None:
     if src_type in ("tinyint", "smallint", "int", "bigint"):
         return
     probe = df.withColumn("_cast_probe", F.col(icol).try_cast("long"))
-    bad = (
-        probe.where(F.col(icol).isNotNull() & F.col("_cast_probe").isNull())
-        .limit(1)
-        .count()
-    )
-    if bad:
+    bad_null = F.col(icol).isNotNull() & F.col("_cast_probe").isNull()
+    # NULL-introducing casts are only half the hazard (ADVICE r04): a
+    # fractional numeric id (double/float/decimal-with-scale) passes the
+    # null probe while try_cast('long') TRUNCATES, so distinct ids 3.1 and
+    # 3.9 silently collapse onto doc_id=3 — exactly the collision class
+    # check_id_collisions exists to prevent.  Probe round-trip fidelity:
+    # a value whose long cast does not cast back equal had a fractional
+    # part (or, for wide doubles, sat beyond exact-integer precision).
+    # Strings are excluded (leading zeros etc. fail round-trip while
+    # casting losslessly) — their failure mode is NULLs, caught above.
+    bad = bad_null
+    if src_type.startswith(("float", "double", "decimal")):
+        bad = bad | (
+            F.col("_cast_probe").isNotNull()
+            & (F.col("_cast_probe").cast(src_type) != F.col(icol))
+        )
+    if probe.where(bad).limit(1).count():
         raise ValueError(
-            f"id column {icol!r} (type {src_type}) is not castable to long: "
-            "casting produced NULL doc_ids — pass --id-col pointing at a "
-            "numeric column, or derive ids from a url column"
+            f"id column {icol!r} (type {src_type}) does not cast losslessly to "
+            "long: casting produced NULL or truncated doc_ids (fractional values "
+            "would silently collide) — pass --id-col pointing at an integral "
+            "column, or derive ids from a url column"
         )
 
 

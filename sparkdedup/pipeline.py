@@ -152,7 +152,18 @@ class DedupPipeline:
         # (cc_round_NNN) instead of non-replicated localCheckpoint blocks:
         # executor loss mid-loop recomputes one round, a killed job
         # resumes from the committed rounds (VERDICT r03 item 4)
-        star = connected_components(edges, ckpt=self.ckpt)
+        prefix = "cc"
+        if self.ckpt.root is not None and self.ckpt.manifest is None:
+            # Direct cluster() call (outside run(), so no manifest is in
+            # play): round tables staged under a bare "cc" prefix would be
+            # trusted by a LATER direct call against the same dir even if
+            # its edges differ — a silent wrong-components reload.  Fold
+            # the edge set's identity (canonicalized-plan semantic hash,
+            # which includes LocalRelation data) into the prefix: same
+            # edges resume their own rounds, different edges get disjoint
+            # tables.
+            prefix = f"cc_{edges.semanticHash() & 0xFFFFFFFF:08x}"
+        star = connected_components(edges, ckpt=self.ckpt, stage_prefix=prefix)
         return assignments_from_components(docs_ids, star, dense=self.dense_labels)
 
     # --- end-to-end ---

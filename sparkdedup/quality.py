@@ -18,10 +18,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+MAX_CONTINGENCY_CELLS = 1_000_000
+
+
 def contingency(assign: DataFrame, truth: DataFrame, key: str = "doc_id") -> np.ndarray:
     """(doc_id, cluster_id) x (doc_id, group_id) -> dense contingency
-    matrix of counts (rows = true groups, cols = predicted clusters)."""
+    matrix of counts (rows = true groups, cols = predicted clusters).
+
+    Driver-side by design (SURVEY §2.5 A9): the metrics need only the
+    contingency TABLE, which for a labeled evaluation corpus is tiny.  The
+    cell-count guard (VERDICT r04 item 2) fails loudly if someone points
+    this diagnostic at a full corpus where true-group x cluster cardinality
+    explodes — that collect would OOM the driver, and at that scale these
+    exact metrics need a sampled or sketched estimator, not this path."""
     joined = assign.join(truth, key).groupBy("group_id", "cluster_id").count()
+    n_cells = joined.count()
+    if n_cells > MAX_CONTINGENCY_CELLS:
+        raise ValueError(
+            f"contingency table has {n_cells} nonzero cells "
+            f"(> {MAX_CONTINGENCY_CELLS}): quality metrics are a driver-side "
+            "diagnostic for labeled evaluation corpora — run them on a sample, "
+            "not the full corpus"
+        )
     rows = joined.collect()
     gids = sorted({r["group_id"] for r in rows})
     cids = sorted({r["cluster_id"] for r in rows})

@@ -34,21 +34,46 @@ def checkpoint_namespace(checkpoint_dir: str) -> str:
     Micro-batch ids restart from 0 for a NEW checkpoint, and a fresh
     stream pointed at an EXISTING state_dir must not have its batch 0
     mistaken for the old stream's committed batch 0 — so batch tokens are
-    namespaced by the checkpoint identity.  The identity is the REALPATH
-    (ADVICE r03): restarting the same stream with a different spelling of
-    the same local directory (relative vs absolute, trailing slash,
-    symlink) must keep the same namespace, or replayed batches stop being
-    recognized by the commit log and get double-ingested.  Non-local
-    checkpoint URIs (hdfs://, s3a://...) only get the trailing-separator
-    strip — realpath is a local-filesystem concept."""
+    namespaced by the checkpoint identity.
+
+    The identity is carried IN the checkpoint directory itself (ADVICE
+    r04): the first run writes a ``_sparkdedup_ns`` marker holding the
+    namespace, and every restart reads it back — so ANY later spelling of
+    the directory (relative vs absolute, trailing slash, symlink, even a
+    wholesale move of the checkpoint tree to a new path) keeps the
+    namespace and the commit log keeps recognizing replayed batches.  When
+    no marker exists yet the namespace is derived from the REALPATH
+    (ADVICE r03) and then persisted.  Non-local checkpoint URIs (hdfs://,
+    s3a://...) derive from the trailing-separator-stripped URI and are not
+    marker-persisted (no local filesystem to write to; object-store
+    spellings are canonical in practice)."""
     import hashlib
     import os
 
     ident = checkpoint_dir.rstrip("/")
-    if "://" not in ident or ident.startswith("file://"):
-        local = ident[len("file://"):] if ident.startswith("file://") else ident
-        ident = os.path.realpath(local)
-    return hashlib.md5(ident.encode("utf-8")).hexdigest()[:8]
+    if "://" in ident and not ident.startswith("file://"):
+        return hashlib.md5(ident.encode("utf-8")).hexdigest()[:8]
+    local = ident[len("file://"):] if ident.startswith("file://") else ident
+    local = os.path.realpath(local)
+    marker = os.path.join(local, "_sparkdedup_ns")
+    try:
+        with open(marker) as f:
+            stored = f.read().strip()
+        if stored:
+            return stored
+    except OSError:
+        pass
+    ns = hashlib.md5(local.encode("utf-8")).hexdigest()[:8]
+    try:
+        os.makedirs(local, exist_ok=True)
+        tmp = os.path.join(local, f".{os.getpid()}._sparkdedup_ns.tmp")
+        with open(tmp, "w") as f:
+            f.write(ns)
+        os.replace(tmp, marker)
+    except OSError:
+        # read-only or racing filesystem: fall back to derived-only mode
+        pass
+    return ns
 
 
 def stream_ingest(
@@ -79,7 +104,12 @@ def stream_ingest(
     # normalization used md5(raw checkpoint string) as the namespace — a
     # batch committed under that legacy token must still be recognized as
     # committed, or the post-upgrade restart of an in-flight stream
-    # double-ingests it
+    # double-ingests it.  CAVEAT (ADVICE r04): this legacy probe uses THIS
+    # invocation's spelling, so the FIRST post-upgrade restart of a
+    # pre-upgrade state must reuse the old spelling of checkpoint_dir
+    # (md5 namespaces cannot be inverted to enumerate other spellings).
+    # From that restart on, the namespace is persisted in the checkpoint
+    # dir's _sparkdedup_ns marker and every spelling works.
     import hashlib
 
     legacy_ns = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:8]

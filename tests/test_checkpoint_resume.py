@@ -208,3 +208,37 @@ def test_iceberg_mode_requires_prefix(spark):
 
     with pytest.raises(ValueError, match="table_prefix"):
         CheckpointManager(spark, "/tmp/x", fmt="iceberg")
+
+
+def test_direct_cluster_calls_do_not_share_round_tables(spark, tmp_path):
+    """ADVICE r04 (medium): cluster() is a public stage method; called
+    DIRECTLY (outside run(), so no manifest is set) with a checkpoint dir,
+    its CC round tables must not be silently reloaded by a second direct
+    call with DIFFERENT edges — the per-edge-set stage prefix keeps the
+    two calls' round tables disjoint."""
+    ck = str(tmp_path / "direct")
+    pipe = DedupPipeline(spark, DedupConfig(), checkpoint_dir=ck)
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+
+    e1 = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    a1 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in pipe.cluster(ids, e1).collect()
+    }
+    assert a1 == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 5)}
+
+    # second direct call, same dir, different edges: must compute ITS
+    # components, not reload the first call's rounds
+    e2 = spark.createDataFrame([(3, 4), (4, 5)], "src long, dst long")
+    a2 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in pipe.cluster(ids, e2).collect()
+    }
+    assert a2 == {(0, 0), (1, 1), (2, 2), (3, 3), (4, 3), (5, 3)}
+
+    # and a REPEAT of the first call still resumes its own (correct) tables
+    a1b = {
+        (r["doc_id"], r["cluster_id"])
+        for r in pipe.cluster(ids, e1).collect()
+    }
+    assert a1b == a1

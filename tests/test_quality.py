@@ -76,3 +76,18 @@ def test_grid_cell_matches_oracle(spark, shingle_size, threshold):
 
     # sanity: near-dup fixture at reasonable config clusters decently
     assert rep["ari"] > 0.5
+
+
+def test_contingency_cell_guard(spark, monkeypatch):
+    """VERDICT r04 item 3: the driver-side contingency collect must fail
+    loudly when pointed at a corpus-scale label set instead of OOMing the
+    driver."""
+    import sparkdedup.quality as q
+
+    assign = spark.createDataFrame([(i, i) for i in range(10)], "doc_id long, cluster_id long")
+    truth = spark.createDataFrame([(i, i % 3) for i in range(10)], "doc_id long, group_id long")
+    monkeypatch.setattr(q, "MAX_CONTINGENCY_CELLS", 5)
+    with pytest.raises(ValueError, match="nonzero cells"):
+        q.contingency(assign, truth)
+    monkeypatch.setattr(q, "MAX_CONTINGENCY_CELLS", 1_000_000)
+    assert q.contingency(assign, truth).sum() == 10

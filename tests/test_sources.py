@@ -81,7 +81,7 @@ def test_read_corpus_noncastable_id_raises(spark, tmp_path):
     spark.createDataFrame(
         [("doc-a", "hello"), ("doc-b", "world")], "id string, text string"
     ).write.parquet(p)
-    with pytest.raises(ValueError, match="not castable to long"):
+    with pytest.raises(ValueError, match="does not cast losslessly"):
         read_corpus(spark, p)
 
 
@@ -104,5 +104,39 @@ def test_read_corpus_bad_id_named_doc_id_raises(spark, tmp_path):
     spark.createDataFrame(
         [("doc-a", "hello"), ("doc-b", "world")], "doc_id string, text string"
     ).write.parquet(p)
-    with pytest.raises(ValueError, match="not castable to long"):
+    with pytest.raises(ValueError, match="does not cast losslessly"):
+        read_corpus(spark, p)
+
+
+def test_read_corpus_fractional_id_raises(spark, tmp_path):
+    """ADVICE r04: fractional numeric ids truncate under try_cast('long')
+    — 3.1 and 3.9 would silently collide onto doc_id=3.  Must raise."""
+    p = str(tmp_path / "corpus_fracid")
+    spark.createDataFrame(
+        [(3.1, "hello"), (3.9, "world")], "id double, text string"
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="does not cast losslessly"):
+        read_corpus(spark, p)
+
+
+def test_read_corpus_integral_double_id_ok(spark, tmp_path):
+    """Whole-valued doubles (a parquet file written from pandas without
+    an int dtype — common) round-trip exactly and must pass."""
+    p = str(tmp_path / "corpus_dblid")
+    spark.createDataFrame(
+        [(3.0, "hello"), (4.0, "world")], "id double, text string"
+    ).write.parquet(p)
+    df = read_corpus(spark, p)
+    assert {r["doc_id"] for r in df.select("doc_id").collect()} == {3, 4}
+
+
+def test_read_corpus_fractional_decimal_id_raises(spark, tmp_path):
+    p = str(tmp_path / "corpus_decid")
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [(Decimal("1.5"), "hello"), (Decimal("2.0"), "world")],
+        "id decimal(10,2), text string",
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="does not cast losslessly"):
         read_corpus(spark, p)

@@ -131,3 +131,20 @@ def test_checkpoint_namespace_spelling_invariance(tmp_path, monkeypatch):
     assert checkpoint_namespace(str(other)) != ns
     # remote URIs: strip trailing separator only
     assert checkpoint_namespace("hdfs://nn/ck/") == checkpoint_namespace("hdfs://nn/ck")
+
+
+def test_checkpoint_namespace_marker_survives_move(tmp_path):
+    """ADVICE r04: the namespace is persisted in a _sparkdedup_ns marker
+    inside the checkpoint dir, so even MOVING the checkpoint tree to a new
+    path (where realpath derivation would disagree) keeps the namespace —
+    replayed batches stay recognized by the commit log."""
+    from sparkdedup.streaming import checkpoint_namespace
+
+    d = tmp_path / "ckpt_a"
+    ns = checkpoint_namespace(str(d))
+    assert (d / "_sparkdedup_ns").read_text().strip() == ns
+    moved = tmp_path / "ckpt_moved"
+    d.rename(moved)
+    assert checkpoint_namespace(str(moved)) == ns
+    # a genuinely fresh dir at the OLD path gets a fresh marker of its own
+    assert checkpoint_namespace(str(tmp_path / "ckpt_a")) == ns  # same realpath derivation
