@@ -25,9 +25,9 @@ Determinism contract (load-bearing for the driver-query oracle): JPEG
 decode output is NOT pinned bit-exact by the spec (the IDCT is approximate
 by design), so this codec fixes BOTH discretionary roundings explicitly:
 
-  * encoder quantization:  q = floor(coef / Q + 0.5)   (round half up)
+  * encoder quantization:  q = floor(round(coef / Q, 6) + 0.5)
   * decoder pixel output:  p = clip(floor(round(x, 6) + 0.5), 0, 255)
-    (snap float noise at 1e-6, then round half up)
+    (both: snap float noise at the 1e-6 decimal, then round half up)
 
 With both pinned, a constant-valued 8x8 block decodes to the CLOSED FORM
   clip(floor(floor(8*(v-128)/Q00 + 0.5) * Q00 / 8 + 128.5), 0, 255)
@@ -368,7 +368,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
         blocks, _, _ = _to_blocks(plane - 128.0)
         dct = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
         q = qtables[min(ci, 1)].astype(np.float64)
-        comp_coefs.append(np.floor(dct / q + 0.5).astype(np.int64))
+        # snap-round, like the decoder's output rounding: the float DCT
+        # leaves 1e-15-relative noise, and an exact-0.5 boundary (e.g. a
+        # constant block with 8(v-128)/Q00 = k + 0.5) must quantize
+        # deterministically UP, matching the closed-form oracle
+        comp_coefs.append(np.floor(np.round(dct / q, 6) + 0.5).astype(np.int64))
 
     dc_codes = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     ac_codes = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -592,7 +596,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     for ci in range(n_comp):
         qtab = comp_tabs[ci][0].reshape(64).astype(np.float64)
         deq = coefs[ci].astype(np.float64)[:, UNZIGZAG] * qtab
-        blocks = np.einsum("xu,nuv,yv->nxy", _C.T, deq.reshape(-1, 8, 8), _C.T.T)
+        # inverse of F = C f C^T:  f[x,y] = sum_{u,v} C[u,x] F[u,v] C[v,y]
+        blocks = np.einsum("ux,nuv,vy->nxy", _C, deq.reshape(-1, 8, 8), _C)
         plane = (
             blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )

@@ -91,8 +91,9 @@ def test_decode_features_real_png(spark):
 
 
 def test_decode_features_jpeg_raises_and_null_policy(spark):
-    """JPEG is a declared stub: on_error='raise' (default) fails the
-    job; on_error='null' emits a NULL feature row (the web-scale
+    """JPEG decodes for real now (functions/jpeg.py); a MALFORMED jpeg
+    payload under on_error='raise' (default) fails the job, under
+    on_error='null' emits a NULL feature row (the web-scale
     one-corrupt-blob-must-not-kill-the-job policy)."""
     import pytest as _pytest
 
@@ -100,11 +101,11 @@ def test_decode_features_jpeg_raises_and_null_policy(spark):
         [(1, b"\xff\xd8\xff\xe0" + b"y" * 50), (2, b"plainbytes")],
         "media_id long, payload binary",
     )
-    with _pytest.raises(Exception, match="jpeg decode requires"):
+    with _pytest.raises(Exception, match="JPEG"):
         decode_features(df, "payload").collect()
     out = {r["media_id"]: r for r in decode_features(df, "payload", on_error="null").collect()}
     assert out[1]["feature"] is None
-    assert out[2]["feature"] is not None  # stub path unaffected
+    assert out[2]["feature"] is not None  # non-image stub path unaffected
 
 
 def test_decode_features_corrupt_png_null_policy(spark):
