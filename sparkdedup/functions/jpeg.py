@@ -439,6 +439,72 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------- MJPEG
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Split a motion-JPEG stream (concatenated baseline JPEG frames —
+    the public MJPEG-over-HTTP / AVI 'MJPG' payload shape) into its
+    per-frame byte slices.
+
+    Frame ends are found by a real marker walk (segment lengths up to
+    SOS, then the entropy-coded data's 0xFF escaping rule), NOT by
+    searching for the EOI byte pair — an APPn/COM segment may legally
+    contain 0xFFD9 inside its payload, which a naive scan would misread
+    as end-of-frame.  Raises ValueError on trailing garbage or truncated
+    frames (fail-loud, single exception type — same contract as
+    decode_jpeg)."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG: expected SOI at offset {pos}")
+        end = _frame_end(data, pos)
+        frames.append(data[pos:end])
+        pos = end
+    if not frames:
+        raise ValueError("MJPEG: empty stream")
+    return frames
+
+
+def _frame_end(data: bytes, start: int) -> int:
+    """Index one past this frame's EOI, via the marker walk."""
+    pos = start + 2
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("MJPEG: truncated frame (no EOI)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"MJPEG: expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI with no scan (degenerate but well-formed)
+            return pos + 2
+        if marker == 0xDA:  # SOS: skip header, then entropy data
+            (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            pos += 2 + ln
+            while True:
+                if pos + 1 >= n:
+                    raise ValueError("MJPEG: truncated entropy data")
+                if data[pos] != 0xFF:
+                    pos += 1
+                    continue
+                nxt = data[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffed / restart
+                    pos += 2
+                    continue
+                if nxt == 0xD9:
+                    return pos + 2
+                raise ValueError(
+                    f"MJPEG: unexpected marker 0x{nxt:02X} inside scan"
+                )
+        elif marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers have no length field
+        else:
+            (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            pos += 2 + ln
+
+
 # ---------------------------------------------------------------- decoder
 
 

@@ -351,3 +351,44 @@ def test_decode_features_mixed_png_jpeg(spark):
     )
     assert got[3] == pytest.approx(decode_jpeg(good_j).mean(axis=(0, 1)).tolist())
     assert got[4] is None
+
+
+# --- MJPEG frame splitting -------------------------------------------------
+
+
+def test_split_mjpeg_roundtrip():
+    from sparkdedup.functions.jpeg import split_mjpeg
+
+    rng = np.random.default_rng(5)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, (8, 8), np.uint8), quality=q)
+        for q in (50, 75, 100)
+    ]
+    got = split_mjpeg(b"".join(frames))
+    assert got == frames
+
+
+def test_split_mjpeg_eoi_inside_comment_segment():
+    """The naive-scan trap: a COM segment whose payload contains the EOI
+    byte pair must NOT end the frame — the marker walk skips it by
+    length."""
+    from sparkdedup.functions.jpeg import split_mjpeg
+
+    f = encode_jpeg(np.full((8, 8), 9, np.uint8))
+    # splice a COM segment containing 0xFFD9 right after SOI
+    com = b"\xff\xfe" + struct.pack(">H", 6) + b"\xff\xd9\x00\x00"
+    tricky = f[:2] + com + f[2:]
+    assert split_mjpeg(tricky + f) == [tricky, f]
+    np.testing.assert_array_equal(decode_jpeg(tricky), decode_jpeg(f))
+
+
+def test_split_mjpeg_rejects_garbage():
+    from sparkdedup.functions.jpeg import split_mjpeg
+
+    f = encode_jpeg(np.full((8, 8), 9, np.uint8))
+    with pytest.raises(ValueError, match="SOI"):
+        split_mjpeg(f + b"trailing-garbage")
+    with pytest.raises(ValueError, match="truncated"):
+        split_mjpeg(f[:-4])
+    with pytest.raises(ValueError, match="empty"):
+        split_mjpeg(b"")

@@ -50,10 +50,36 @@ def test_decode_features_schema_and_determinism(spark):
 
 
 def test_sample_frames_expansion(spark):
-    out = sample_frames(_media_df(spark), "payload", every=2).collect()
+    """sample_frames is a REAL MJPEG sampler now: 6 concatenated JPEG
+    frames, every=2 -> frames 0/2/4 decoded with real dims + means; a
+    non-MJPEG payload is skipped atomically under on_error='null' and
+    raises under the default policy."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkdedup.functions.jpeg import decode_jpeg, encode_jpeg
+
+    frames = [
+        encode_jpeg(np.full((8, 8), (40 + 30 * k) % 256, np.uint8), quality=50)
+        for k in range(6)
+    ]
+    rows = [
+        (0, bytearray(b"".join(frames))),
+        (1, b"not a video"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = sample_frames(df, "payload", every=2, on_error="null").collect()
     ids = {r["media_id"] for r in out}
-    assert 0 in ids and 3 not in ids  # null payload yields no frames
-    assert all(len(r["frame_sha"]) == 40 for r in out)
+    assert ids == {0}  # bad + null payloads yield no frames
+    got = {r["frame_idx"]: r for r in out}
+    assert sorted(got) == [0, 2, 4]
+    for k, r in got.items():
+        assert (r["height"], r["width"]) == (8, 8)
+        assert r["mean_px"] == float(decode_jpeg(frames[k]).mean())
+        assert len(r["frame_sha"]) == 40
+    with _pytest.raises(Exception, match="MJPEG"):
+        sample_frames(df, "payload", every=2).collect()
 
 
 def test_sniff_mime_batch_matches_scalar():
