@@ -107,6 +107,13 @@ class DedupConfig:
     # log them (analogue of the reference's candidate caps, cluster_in_mem
     # .py:165 — OFF by default because it loses recall; see SURVEY §2.7 T7).
     band_drop_threshold: int | None = None
+    # T7 candidate-cap parity surface: when set, each doc keeps only its
+    # max_candidates smallest candidate partners (deterministic
+    # reformulation of the reference's per-doc LSH-query caps 500/150,
+    # cluster_in_mem.py:165,186-187 — see operators/pairs.py
+    # cap_pairs_per_doc).  OFF by default: uncapped is both the parity
+    # mode and the no-recall-loss scale stance.
+    max_candidates: int | None = None
     # Complementary SimHash pass (north_star): when set, a 64-bit SimHash
     # is fused into the signature kernel and candidate pairs are
     # pre-filtered on Hamming distance <= this bound BEFORE the Jaccard

@@ -96,7 +96,37 @@ def connected_components(
     materializes as the durable table ``{stage_prefix}_round_NNN`` instead
     of a localCheckpoint, making the loop resumable and executor-loss-safe
     (see module docstring)."""
+    import copy
+
+    from sparkdedup.sessionutil import private_session, rebind
+
     durable = ckpt is not None and getattr(ckpt, "root", None) is not None
+
+    # Conf isolation (VERDICT r04 item 4): the loop needs its own shuffle
+    # sizing and AQE off, so it runs on a PRIVATE session clone — a
+    # concurrent query on the caller's session mid-loop sees the caller's
+    # confs untouched (the old set-and-restore exposed the reduced
+    # parallelism for the loop's duration).  Sessions share the context,
+    # so cache/localCheckpoint blocks and the cluster are the same.
+    spark = edges.sparkSession
+    loop_spark = private_session(spark)
+    # Constraint propagation off on the PRIVATE session (safe: invisible
+    # to the caller).  Two reasons: (a) the recommended perf tuning
+    # (build_spark) — the loop re-derives constraints over its self-union
+    # shapes every round for inferred IsNotNull filters that are worthless
+    # here (keys non-null by construction); (b) Spark's
+    # UnionBase.rewriteConstraints crashes (NoSuchElementException on a
+    # child attribute) when constraint rewriting walks the view-rebound
+    # union inside _large_star — observed on vanilla sessions the moment
+    # the loop moved onto a rebound frame.  Results are identical; the
+    # caller's own plans still optimize under the caller's conf.
+    loop_spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    edges = rebind(edges, loop_spark)
+    if durable:
+        # the clone's ckpt reads/writes round tables on the loop session,
+        # keeping every round's plan under the loop conf
+        ckpt = copy.copy(ckpt)
+        ckpt.spark = loop_spark
 
     def _cut(build, name: str) -> DataFrame:
         # build is a thunk: in durable mode a committed round reloads
@@ -115,48 +145,39 @@ def connected_components(
     # full shuffle parallelism means near-empty reducers — pure scheduler
     # overhead per round (localCheckpoint materialization bypasses AQE's
     # partition coalescing).  ~150k edges per reducer; large edge sets keep
-    # the session's configured fan-out unchanged.
-    # NOTE: this loop set-and-restores two session-global confs.  That is
-    # correct for the single-threaded pipeline; running OTHER queries
-    # concurrently on the same SparkSession during the loop would see the
-    # reduced parallelism — callers needing concurrency should pass edges
-    # from a dedicated spark.newSession().
-    spark = edges.sparkSession
-    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # the caller session's configured fan-out unchanged.
     try:
-        base_parts = int(orig_parts)
+        base_parts = int(loop_spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         # non-numeric conf (e.g. "auto" on some platforms)
         base_parts = spark.sparkContext.defaultParallelism
     target = max(2, min(base_parts, prev[0] // 150_000 + 1))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(target))
-        # AQE off for the loop: each round is a fixed shape of small
-        # shuffles whose partitioning we just sized explicitly; with AQE
-        # on, every round's materialization fans out into ~8 sub-jobs with
-        # a driver replan between each — measured ~58 extra jobs / ~15 s
-        # of pure scheduling churn per flagship run at test scale.
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        for rnd in range(1, max_rounds + 1):
-            prev_e = e
-            e = _cut(
-                lambda: _small_star(_large_star(prev_e)),
-                f"{stage_prefix}_round_{rnd:03d}",
-            )
-            cur = _fingerprint(e)
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError(
-                f"connected components did not converge in {max_rounds} rounds"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
-        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
-    # fixed point of small-star is a star graph: src -> component min
-    return e.select(F.col("src").alias("doc_id"), F.col("dst").alias("root"))
+    loop_spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    # AQE off for the loop: each round is a fixed shape of small
+    # shuffles whose partitioning we just sized explicitly; with AQE
+    # on, every round's materialization fans out into ~8 sub-jobs with
+    # a driver replan between each — measured ~58 extra jobs / ~15 s
+    # of pure scheduling churn per flagship run at test scale.
+    loop_spark.conf.set("spark.sql.adaptive.enabled", "false")
+    for rnd in range(1, max_rounds + 1):
+        prev_e = e
+        e = _cut(
+            lambda: _small_star(_large_star(prev_e)),
+            f"{stage_prefix}_round_{rnd:03d}",
+        )
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+    # fixed point of small-star is a star graph: src -> component min;
+    # hand the result back to the caller's session
+    return rebind(
+        e.select(F.col("src").alias("doc_id"), F.col("dst").alias("root")), spark
+    )
 
 
 def assignments_from_components(

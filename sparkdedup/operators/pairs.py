@@ -73,6 +73,43 @@ def dropped_band_stats(bands: DataFrame, drop_threshold: int) -> dict:
     }
 
 
+def cap_pairs_per_doc(pairs: DataFrame, max_candidates: int) -> DataFrame:
+    """SURVEY §2.7 T7 parity-surface knob: the reference bounds per-doc
+    candidate work at max_candidates=500 (within-batch) / 150
+    (cross-batch) by breaking out of its LSH-query loop
+    (cluster_in_mem.py:165,186-187,217-218).  Its examine ORDER is
+    datasketch's set-iteration order — not a documented or reproducible
+    sequence — so this operator implements the DETERMINISTIC
+    reformulation of the same bound: each doc keeps its
+    ``max_candidates`` smallest candidate partners by doc_id, and a pair
+    survives when EITHER endpoint keeps it (mirroring the reference's
+    processed_pairs sharing, where a pair examined from one side never
+    costs the other side's budget).  Order-free, monotone, and testable
+    against an independent capped oracle (tests/oracle.py
+    lsh_pairs_capped_ref).
+
+    OFF by default (uncapped is the parity mode for the reference's own
+    defaults-driven tests AND the no-recall-loss scale stance — SURVEY
+    §2.7 risk f).  Scale shape: one extra shuffle of the pair list keyed
+    by doc; the row_number window sorts each doc's candidate list, which
+    the banding/salting layer already bounds."""
+    if max_candidates < 1:
+        raise ValueError(f"max_candidates must be >= 1, got {max_candidates}")
+    both = pairs.select(F.col("src").alias("d"), F.col("dst").alias("p")).unionByName(
+        pairs.select(F.col("dst").alias("d"), F.col("src").alias("p"))
+    )
+    w = Window.partitionBy("d").orderBy("p")
+    kept = both.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= F.lit(max_candidates)
+    )
+    return (
+        kept.select(
+            F.least("d", "p").alias("src"), F.greatest("d", "p").alias("dst")
+        )
+        .distinct()
+    )
+
+
 def candidate_pairs(
     bands: DataFrame,
     salt_threshold: int | None = 2000,

@@ -129,6 +129,13 @@ class DedupPipeline:
             salt_threshold=c.band_salt_threshold,
             drop_threshold=c.band_drop_threshold,
         )
+        if c.max_candidates is not None:
+            # T7 cap applies to the LSH candidate list BEFORE any verify
+            # work, like the reference's in-loop break (cluster_in_mem
+            # .py:186-187 caps candidates, then jaccard-checks survivors)
+            from sparkdedup.operators.pairs import cap_pairs_per_doc
+
+            pairs = cap_pairs_per_doc(pairs, c.max_candidates)
         if c.simhash_hamming_max is not None:
             sh1 = sigs.select(F.col("doc_id").alias("src"), F.col("simhash").alias("_sh_src"))
             sh2 = sigs.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("_sh_dst"))
@@ -175,22 +182,35 @@ class DedupPipeline:
         'substring_edges' when config.substring_min_span is set) —
         assignments has (doc_id, cluster_id, certainty).
 
-        Set-and-restores spark.sql.constraintPropagation.enabled=false for
-        the duration (PERF only — see build_spark): the eager stage cuts
-        inside run() are where the huge unrolled plans get optimized, so a
-        vanilla session gets the fast path without any session tuning.
-        Results are identical either way — and the plans are CORRECT with
-        the conf on: tests/test_vanilla_session.py composes the stage
-        methods directly (outside run(), so nothing overrides the conf)
-        and optimizes every plan shape, including the dup-edges union,
-        with constraint propagation forced ON."""
-        _CP = "spark.sql.constraintPropagation.enabled"
-        orig_cp = self.spark.conf.get(_CP)
-        self.spark.conf.set(_CP, "false")
-        try:
-            return self._run(docs, text_col, id_col)
-        finally:
-            self.spark.conf.set(_CP, orig_cp)
+        Executes on a PRIVATE session clone (VERDICT r04 item 4) with
+        spark.sql.constraintPropagation.enabled=false (PERF only — see
+        build_spark): the eager stage cuts inside run() are where the
+        huge unrolled plans get optimized, so a vanilla session gets the
+        fast path without ANY mutation of the caller's session — a
+        concurrent query on self.spark mid-run sees its confs untouched.
+        Inputs are handed to the clone (and outputs handed back) via
+        sessionutil.rebind, so callers receive DataFrames bound to their
+        own session.  Results are identical either way — and the plans
+        are CORRECT with the conf on: tests/test_vanilla_session.py
+        composes the stage methods directly (outside run(), so nothing
+        overrides the conf) and optimizes every plan shape, including the
+        dup-edges union, with constraint propagation forced ON."""
+        import copy
+
+        from sparkdedup.sessionutil import private_session, rebind
+
+        exec_spark = private_session(self.spark)
+        exec_spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        # shallow execution clone: same config/ckpt identity (run_id,
+        # manifests, lineage log), session swapped for the private one
+        p = copy.copy(self)
+        p.spark = exec_spark
+        p.ckpt = copy.copy(self.ckpt)
+        p.ckpt.spark = exec_spark
+        out = p._run(rebind(docs, exec_spark), text_col, id_col)
+        if hasattr(p, "last_drop_stats"):
+            self.last_drop_stats = p.last_drop_stats
+        return {k: rebind(v, self.spark) for k, v in out.items()}
 
     def _run(
         self, docs: DataFrame, text_col: str, id_col: str

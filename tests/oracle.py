@@ -7,10 +7,12 @@ cluster_in_mem.py SimilarityFinder uncapped, union_find.py), using
 row-at-a-time loops and per-shingle updates — a code path independent of
 sparkdedup's vectorized implementation, so parity tests are meaningful.
 
-Candidate caps (max_candidates=500/150) are NOT reproduced: they are
-recall-losing single-node artifacts; at fixture scale no doc has >500
-candidates so the uncapped edge set equals the reference's (SURVEY.md §7
-risk f).
+Candidate caps (max_candidates=500/150) are NOT reproduced in the parity
+path: they are recall-losing single-node artifacts; at fixture scale no
+doc has >500 candidates so the uncapped edge set equals the reference's
+(SURVEY.md §7 risk f).  The engine's deterministic cap reformulation
+(operators/pairs.py cap_pairs_per_doc) has its own independent capped
+twin here (`cap_pairs_ref`) for engine-vs-oracle cap parity.
 """
 
 from __future__ import annotations
@@ -126,6 +128,23 @@ def candidate_pairs_ref(sigs: list[np.ndarray], b: int, r: int) -> set[tuple[int
             for y in range(x + 1, len(members)):
                 pairs.add((members[x], members[y]))
     return pairs
+
+
+def cap_pairs_ref(pairs: set[tuple[int, int]], max_candidates: int) -> set[tuple[int, int]]:
+    """Independent twin of cap_pairs_per_doc's DOCUMENTED semantics
+    (deterministic reformulation of cluster_in_mem.py:165,186-187): each
+    doc keeps its max_candidates smallest partners by id; a pair survives
+    if either endpoint keeps it.  Brute-force per-doc dict/sort
+    implementation, no Spark."""
+    partners: dict[int, list[int]] = {}
+    for a, b in pairs:
+        partners.setdefault(a, []).append(b)
+        partners.setdefault(b, []).append(a)
+    kept = set()
+    for d, ps in partners.items():
+        for p in sorted(ps)[:max_candidates]:
+            kept.add((min(d, p), max(d, p)))
+    return kept
 
 
 class UnionFindRef:

@@ -131,3 +131,114 @@ def test_property_planted_dups_cocluster(spark, corpus):
     # empty + whitespace-only docs produce the same signature
     empties = [i for i, t in enumerate(texts) if not t.strip()]
     assert len({got[i] for i in empties}) == 1
+
+
+def test_run_never_mutates_caller_session_confs(spark):
+    """VERDICT r04 item 4: run() (and the CC loop inside it) executes on
+    a private session clone — a concurrent observer on the CALLER's
+    session must never see the pipeline's conf tuning (constraint
+    propagation off, loop shuffle sizing, AQE off), at any point DURING
+    the run, not just after."""
+    import threading
+    import time as _time
+
+    sdf = webtext_spark_df(spark, 150, seed=1)
+    watched = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.constraintPropagation.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    deviations = []
+    done = threading.Event()
+
+    def poll():
+        while not done.is_set():
+            for k, v in watched.items():
+                cur = spark.conf.get(k)
+                if cur != v:
+                    deviations.append((k, cur))
+            _time.sleep(0.01)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        out = DedupPipeline(spark, DedupConfig(threshold=0.3, shingle_size=6)).run(sdf)
+        n = out["assignments"].count()
+    finally:
+        done.set()
+        t.join()
+    assert n == 150
+    assert deviations == []
+    for k, v in watched.items():
+        assert spark.conf.get(k) == v
+    # outputs come back bound to the caller's session (joinable with the
+    # caller's own frames)
+    assert out["assignments"].sparkSession is spark
+
+
+def test_capped_pairs_match_capped_oracle(spark):
+    """SURVEY §2.7 T7: the deterministic per-doc candidate cap
+    (cap_pairs_per_doc, config.max_candidates) against its independent
+    brute-force twin (oracle.cap_pairs_ref) — first property-style on
+    random pair graphs, then end-to-end through the pipeline on a corpus
+    with a 30-doc near-duplicate hub where the cap genuinely binds."""
+    import random
+
+    from sparkdedup.operators.pairs import cap_pairs_per_doc
+    from .oracle import (
+        cap_pairs_ref,
+        candidate_pairs_ref,
+        minhash_ref,
+        optimal_param_ref,
+        preprocess_text_ref,
+        shingles_ref,
+    )
+
+    for seed in (0, 1):
+        rnd = random.Random(seed)
+        pairs = set()
+        while len(pairs) < 60:
+            a, b = rnd.randrange(40), rnd.randrange(40)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        pdf = spark.createDataFrame(sorted(pairs), "src long, dst long")
+        for cap in (1, 2, 5):
+            got = {
+                (r["src"], r["dst"])
+                for r in cap_pairs_per_doc(pdf, cap).collect()
+            }
+            assert got == cap_pairs_ref(pairs, cap), (seed, cap)
+
+    # end-to-end: hub of 30 identical docs -> 29 candidates each, cap 3
+    hub = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [hub] * 30 + [
+        "completely different first text about spark execution engines",
+        "another unrelated document concerning jpeg entropy coding",
+    ]
+    cfg = DedupConfig(threshold=0.3, shingle_size=6, max_candidates=3)
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = DedupPipeline(spark, cfg).run(sdf)
+    engine_edges = {(r["src"], r["dst"]) for r in out["edges"].collect()}
+
+    popts = dict(PREPROCESS_NONE)
+    sigs = [
+        minhash_ref(shingles_ref(preprocess_text_ref(t, popts), 6), 64, 42)
+        for t in texts
+    ]
+    b, r = optimal_param_ref(0.3, 64)
+    import numpy as np
+
+    capped = cap_pairs_ref(candidate_pairs_ref(sigs, b, r), 3)
+    want = {
+        (i, j)
+        for i, j in capped
+        if float(np.count_nonzero(sigs[i] == sigs[j])) / 64.0 >= 0.3
+    }
+    assert engine_edges == want
+    # the cap genuinely bound: far fewer than the K30 hub's 435 pairs
+    assert len(engine_edges) < 435
