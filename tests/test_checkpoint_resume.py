@@ -242,3 +242,20 @@ def test_direct_cluster_calls_do_not_share_round_tables(spark, tmp_path):
         for r in pipe.cluster(ids, e1).collect()
     }
     assert a1b == a1
+
+
+def test_iceberg_without_catalog_fails_actionably(spark, tmp_path):
+    """VERDICT r04 item 6: the sandbox has no Iceberg runtime jar — the
+    iceberg checkpoint path must fail with ONE actionable RuntimeError
+    (naming the spark-submit confs to set), not an opaque Py4J stack
+    mid-pipeline."""
+    import pytest
+
+    from sparkdedup.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(
+        spark, str(tmp_path / "ice"), fmt="iceberg", table_prefix="nocat.ns"
+    )
+    df = spark.range(3)
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        ck.stage("01_x", lambda: df)
