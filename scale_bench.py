@@ -207,9 +207,39 @@ def _eff(thr: dict[int, float], a: int, b: int) -> float:
     return round((thr[b] / thr[a]) / (b / a), 3)
 
 
+def _runs_from_log() -> dict[int, list[dict]]:
+    """Rebuild the per-level run lists from the durable per-run log.
+
+    Keeps only runs of the CURRENT protocol (cold+warm, i.e. entries with
+    warm_wall_sec) at the current corpus size, so `--report` after an
+    interrupted campaign regenerates BENCH/BASELINE.md from every finished
+    run instead of losing the campaign to a harness kill.
+    """
+    runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    path = os.path.join(ROOT, "BENCH", "scale_runs.jsonl")
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            if (
+                "warm_wall_sec" in r
+                and r.get("docs") == N_ROWS
+                and r.get("cpus") in runs
+            ):
+                runs[r["cpus"]].append(r)
+    missing = [c for c in LEVELS if not runs[c]]
+    if missing:
+        raise SystemExit(
+            f"no cold+warm runs at {N_ROWS} docs for levels {missing} in {path}"
+        )
+    return runs
+
+
 def main() -> None:
     if "--worker" in sys.argv:
         worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        return
+    if "--report" in sys.argv:
+        _write_report(_runs_from_log())
         return
 
     ensure_data()
@@ -218,9 +248,14 @@ def main() -> None:
     for _ in range(N_REPS):
         for cpus in LEVELS:
             runs[cpus].append(_one_run(cpus))
+    _write_report(runs)
 
+
+def _write_report(runs: dict[int, list[dict]]) -> None:
     med = {c: statistics.median(r["wall_sec"] for r in runs[c]) for c in LEVELS}
     med_w = {c: statistics.median(r["warm_wall_sec"] for r in runs[c]) for c in LEVELS}
+    counts = sorted({len(runs[c]) for c in LEVELS})
+    reps_desc = str(counts[0]) if len(counts) == 1 else f"{counts[0]}-{counts[-1]}"
     n_docs = runs[LEVELS[0]][0]["docs"]
     thr = {c: round(n_docs / med[c], 1) for c in LEVELS}
     thr_w = {c: round(n_docs / med_w[c], 1) for c in LEVELS}
@@ -296,7 +331,7 @@ TWICE — run 1 (cold) pays this host's ~6 MB/s serialized first-touch
 page-fault path for the full working set; run 2 (warm) reuses the faulted
 pool and measures STEADY-STATE throughput, the quantity that scales with
 executors on a real cluster.  Runs are INTERLEAVED across levels and the
-efficiency uses MEDIANS of {N_REPS} runs per level; whole-box CPU seconds
+efficiency uses MEDIANS of {reps_desc} runs per level; whole-box CPU seconds
 and host steal% bound contention per run.
 
 | run | cold wall (s) | warm wall (s) | cold docs/s | warm docs/s | cpu (s) | cpu util | steal % |
