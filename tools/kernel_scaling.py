@@ -59,15 +59,24 @@ def main() -> None:
     results = {}
     for procs in LEVELS:
         chunks = [texts[i::procs] for i in range(procs)]
-        # warm pass: fault in every worker's pages outside the window
+        # small warm pass: fault in every worker's code/numpy pages
+        # outside the window; the FULL working set (gram caches, per-doc
+        # buffers) still faults during pass 1 — that is the cold number.
+        # Pass 2 reuses the faulted pools: the WARM (steady-state) host
+        # ceiling, the anchor matching scale_bench's warm measurement.
         with mp.get_context("spawn").Pool(procs) as pool:
             pool.map(_work, [c[:200] for c in chunks])
             t0 = time.time()
             pool.map(_work, chunks)
             wall = time.time() - t0
+            t0 = time.time()
+            pool.map(_work, chunks)
+            warm_wall = time.time() - t0
         results[procs] = {
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(len(texts) / wall, 1),
+            "warm_wall_sec": round(warm_wall, 2),
+            "warm_docs_per_sec": round(len(texts) / warm_wall, 1),
         }
         print(json.dumps({"procs": procs, **results[procs]}), flush=True)
     # label and file-key by the MEASURED size: head() clips to the
@@ -80,6 +89,10 @@ def main() -> None:
     if 8 in results and 32 in results:
         eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
         out["efficiency_8_to_32"] = round(eff, 3)
+        eff_w = (
+            results[32]["warm_docs_per_sec"] / results[8]["warm_docs_per_sec"]
+        ) / 4.0
+        out["efficiency_8_to_32_warm"] = round(eff_w, 3)
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     # per-size artifact; the unsized name stays the original 60k anchor
     name = (
