@@ -252,8 +252,14 @@ def main() -> None:
 
 
 def _write_report(runs: dict[int, list[dict]]) -> None:
-    med = {c: statistics.median(r["wall_sec"] for r in runs[c]) for c in LEVELS}
-    med_w = {c: statistics.median(r["warm_wall_sec"] for r in runs[c]) for c in LEVELS}
+    med = {
+        c: round(statistics.median(r["wall_sec"] for r in runs[c]), 2)
+        for c in LEVELS
+    }
+    med_w = {
+        c: round(statistics.median(r["warm_wall_sec"] for r in runs[c]), 2)
+        for c in LEVELS
+    }
     counts = sorted({len(runs[c]) for c in LEVELS})
     reps_desc = str(counts[0]) if len(counts) == 1 else f"{counts[0]}-{counts[-1]}"
     n_docs = runs[LEVELS[0]][0]["docs"]
