@@ -114,6 +114,20 @@ class DedupConfig:
     # cap_pairs_per_doc).  OFF by default: uncapped is both the parity
     # mode and the no-recall-loss scale stance.
     max_candidates: int | None = None
+    # Join-strategy cap for the Jaccard-verify joins (optimization guide
+    # §3.1 "pick the strategy deliberately").  When the estimated
+    # signature-relation size — n_docs * (num_perm * 8 + 16) bytes — fits
+    # under this cap, the pipeline BROADCASTs the signature table into
+    # both verify joins, so the candidate-pair side (|pairs| >> |docs| in
+    # any duplicate-heavy corpus) is never shuffled; above it, the joins
+    # fall back to per-partition shuffle-hash builds, the only correct
+    # physical choice when signatures exceed executor memory (the
+    # 10^12-doc design point).  1 GiB default: safe on any >= 8 GB
+    # driver/executor (Spark's own broadcast hard cap is 8 GiB), and at
+    # num_perm=64 it admits corpora up to ~2M docs — decided from the
+    # MEASURED doc count per run, not tuned to any one bench size.  None
+    # disables broadcasting outright.
+    verify_broadcast_max_bytes: int | None = 1 << 30
     # Complementary SimHash pass (north_star): when set, a 64-bit SimHash
     # is fused into the signature kernel and candidate pairs are
     # pre-filtered on Hamming distance <= this bound BEFORE the Jaccard

@@ -4,12 +4,34 @@ The reference verifies with the SIGNATURE-estimate Jaccard — the fraction
 of equal signature positions over all num_perm values
 (cluster_in_mem.py:196 via datasketch ``MinHash.jaccard``) — not exact
 shingle-set Jaccard.  Matching that estimate exactly is required for
-edge-set parity, so we compute it JVM-side with ``zip_with`` + ``size`` +
-``filter`` (whole-stage-codegen-friendly, no Python in the hot path).
+edge-set parity.
+
+Two execution strategies (optimization guide §3.1 + §4.2), chosen by the
+pipeline from the MEASURED corpus size:
+
+* ``broadcast`` — the signature table is small enough to replicate: it is
+  collected once as an Arrow table, broadcast to every Python worker as a
+  sorted (ids, matrix) pair, and a ``mapInArrow`` kernel computes the
+  equality count for whole pair batches with one vectorized numpy
+  comparison.  The candidate-pair side — |pairs| >> |docs| in any
+  duplicate-heavy corpus — is never shuffled and never carries a
+  signature payload.  Measured at sf1.0 (34.9M pairs / 50k docs): 10-11 s
+  vs 159 s for the shuffle-hash JVM plan.  The JVM expression path is
+  unusable here even under a broadcast join (143 s): the unrolled
+  64-term equality sum exceeds HotSpot's 8000-byte JIT threshold, so
+  whole-stage codegen runs as *interpreted* bytecode per pair — exactly
+  the guide-§4.2 case for handing batches to vectorized native code.
+* ``shuffle_hash`` — the only correct choice when signatures exceed
+  executor/worker memory (the 10^12-doc design point): both equi-joins
+  hash-build the signature side per partition (sort-merge would sort the
+  fat pair side twice), and the Jaccard estimate is the unrolled JVM
+  expression.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -17,16 +39,69 @@ from pyspark.sql import functions as F
 def jaccard_expr(sig_a: str, sig_b: str, num_perm: int) -> Column:
     """fraction of equal positions — float division by num_perm.
 
-    UNROLLED into a 64-term scalar sum with constant array indices:
-    higher-order functions (zip_with/filter) run interpreted per row in
-    Spark, while the unrolled form stays inside whole-stage codegen —
-    same 10x pattern as the band-key unroll (operators/bands.py), and the
-    verify stage is |pairs|-hot (measured 11.4 s -> ~2 s on 343k pairs)."""
+    UNROLLED into a scalar sum with constant array indices: higher-order
+    functions (zip_with/filter) run interpreted per row in Spark, with a
+    per-element lambda dispatch.  NOTE the codegen ceiling measured in
+    round 6: at num_perm=64 the generated method is too large for the JIT
+    (HotSpot's 8000-byte DontCompileHugeMethods limit), so this
+    expression executes as interpreted bytecode — fine for the residual
+    shuffle-hash path where the join dominates anyway, but the reason the
+    broadcast path uses the numpy kernel instead."""
     eq_count = None
     for i in range(num_perm):
         term = (F.expr(f"{sig_a}[{i}]") == F.expr(f"{sig_b}[{i}]")).cast("int")
         eq_count = term if eq_count is None else eq_count + term
     return eq_count / F.lit(float(num_perm))
+
+
+def _broadcast_signatures(
+    signatures: DataFrame, id_col: str, sig_col: str, num_perm: int
+):
+    """Collect (id, sig) to the driver and broadcast as a sorted
+    (ids int64[n], mat int64[n, num_perm]) pair — the same collect a JVM
+    broadcast join performs, size-gated by the caller
+    (config.verify_broadcast_max_bytes)."""
+    tbl = signatures.select(id_col, sig_col).toArrow()
+    ids = tbl.column(id_col).to_numpy()
+    n = len(ids)
+    mat = np.asarray(tbl.column(sig_col).combine_chunks().flatten()).reshape(
+        n, num_perm
+    )
+    order = np.argsort(ids)
+    ids = np.ascontiguousarray(ids[order])
+    mat = np.ascontiguousarray(mat[order])
+    return signatures.sparkSession.sparkContext.broadcast((ids, mat))
+
+
+def _verify_kernel(bc, threshold: float, num_perm: int):
+    """(src, dst) Arrow batches -> (src, dst, sim) batches, sim >= t.
+
+    One vectorized numpy pass per batch: two searchsorted lookups into
+    the broadcast id index, two row gathers, one elementwise equality +
+    row sum.  sim = eq_count / num_perm is exact in float64 (integer /
+    power-of-two-free constant, same value the JVM expression computes)."""
+
+    def gen(batches):
+        ids, mat = bc.value
+        denom = float(num_perm)
+        for b in batches:
+            src = b.column("src").to_numpy()
+            dst = b.column("dst").to_numpy()
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            if not (np.array_equal(ids[si], src) and np.array_equal(ids[di], dst)):
+                raise ValueError(
+                    "verify: candidate pair references a doc_id absent from "
+                    "the signature table"
+                )
+            sim = (mat[si] == mat[di]).sum(axis=1) / denom
+            keep = sim >= threshold
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(src[keep]), pa.array(dst[keep]), pa.array(sim[keep])],
+                ["src", "dst", "sim"],
+            )
+
+    return gen
 
 
 def verify_pairs(
@@ -36,17 +111,25 @@ def verify_pairs(
     num_perm: int,
     id_col: str = "doc_id",
     sig_col: str = "sig",
+    strategy: str = "shuffle_hash",
 ) -> DataFrame:
     """(src, dst) x (doc_id, sig) -> edges (src, dst, sim) with sim >= t.
 
-    Two equi-joins attach signatures to both endpoints.  The signatures
-    side gets a SHUFFLE_HASH hint: |pairs| >> |signatures| in any
-    duplicate-heavy corpus, and hash-building on the small side avoids
-    sort-merge's O(pairs log pairs) sort of the big side twice — the
-    dominant verify cost (measured: joins were ~85% of the stage).  At
-    10^12 docs signatures cannot be broadcast, so SHJ is also the
-    scale-correct physical choice.
+    ``strategy`` picks the physical plan (module docstring); results are
+    identical.  DedupPipeline chooses per run from the measured doc count
+    (config.verify_broadcast_max_bytes); direct callers keep the
+    unconditionally-safe shuffle-hash default.  For ``broadcast``, pass a
+    MATERIALIZED ``signatures`` (checkpoint table / localCheckpoint): the
+    collect happens at plan-build time.
     """
+    if strategy == "broadcast":
+        bc = _broadcast_signatures(signatures, id_col, sig_col, num_perm)
+        return pairs.select("src", "dst").mapInArrow(
+            _verify_kernel(bc, threshold, num_perm),
+            "src long, dst long, sim double",
+        )
+    if strategy != "shuffle_hash":
+        raise ValueError(f"unknown verify strategy: {strategy!r}")
     s1 = signatures.select(F.col(id_col).alias("src"), F.col(sig_col).alias("_sig_src"))
     s2 = signatures.select(F.col(id_col).alias("dst"), F.col(sig_col).alias("_sig_dst"))
     return (

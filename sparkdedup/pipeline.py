@@ -154,6 +154,17 @@ class DedupPipeline:
         c = self.config
         return verify_pairs(self.pairs(sigs), sigs, c.threshold, c.num_perm)
 
+    def verify_strategy(self, sigs: DataFrame) -> str:
+        """Pick the verify-join strategy from the MEASURED corpus size
+        (guide §3.1).  Only call on a materialized ``sigs`` (checkpoint
+        table or localCheckpoint): the count is then a block/footer scan,
+        not a pipeline recompute."""
+        c = self.config
+        if c.verify_broadcast_max_bytes is None:
+            return "shuffle_hash"
+        est = sigs.count() * (c.num_perm * 8 + 16)
+        return "broadcast" if est <= c.verify_broadcast_max_bytes else "shuffle_hash"
+
     def cluster(self, docs_ids: DataFrame, edges: DataFrame) -> DataFrame:
         # with a checkpoint dir, CC rounds materialize as durable tables
         # (cc_round_NNN) instead of non-replicated localCheckpoint blocks:
@@ -278,8 +289,14 @@ class DedupPipeline:
         # the verify plan (measured ~70 s of driver/duplicated-stage
         # overhead at 50k docs when fully fused)
         pairs = self.ckpt.stage("05_pairs", lambda: self.pairs(sigs), cut=True)
+        # join strategy decided from the measured doc count (sigs is
+        # materialized above, so the count is a cheap block/footer scan)
+        strategy = self.verify_strategy(sigs)
         edges = self.ckpt.stage(
-            "06_edges", lambda: verify_pairs(pairs, sigs, c.threshold, c.num_perm)
+            "06_edges",
+            lambda: verify_pairs(
+                pairs, sigs, c.threshold, c.num_perm, strategy=strategy
+            ),
         )
 
         if c.substring_min_span is not None:
