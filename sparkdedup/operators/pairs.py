@@ -110,6 +110,62 @@ def cap_pairs_per_doc(pairs: DataFrame, max_candidates: int) -> DataFrame:
     )
 
 
+def salted_members(
+    bands: DataFrame,
+    salt_threshold: int,
+    drop_threshold: int | None = None,
+) -> DataFrame:
+    """(band_key, doc_id) -> bounded cell-pair buckets
+    (band_key, ci, cj, ms: array<struct<d, c>>) — the shared front half of
+    the triangle-salting path (module docstring).  Every unordered
+    in-band pair (x, y) appears in exactly one bucket, the one with
+    (ci, cj) = (min(c_x, c_y), max(c_x, c_y)); consumers enforce that
+    home-bucket condition when expanding pairs.
+
+    Band sizes via a count-only window: ONE shuffle of the band rows by
+    band_key (vs groupBy-sizes + join-back = two), and no driver-side
+    count() job to decide whether salting is needed: the cold/hot split
+    is declarative.  The window has no orderBy, so Spark buffers per-key
+    groups (narrow 16-byte rows, spillable).  Singleton buckets are
+    pruned before any expansion (at web scale MOST band buckets are
+    singletons).  The groupBy reuses the window's hash partitioning
+    (band_key is a prefix of the group keys) — no extra exchange; bucket
+    arrays are bounded by ~2*salt_threshold members."""
+    if drop_threshold is not None and drop_threshold < salt_threshold:
+        raise ValueError(
+            f"drop_threshold ({drop_threshold}) must be >= salt_threshold "
+            f"({salt_threshold}): bands sized in between would be kept but "
+            "logged as dropped"
+        )
+    w = Window.partitionBy("band_key")
+    sized = bands.withColumn("band_size", F.count(F.lit(1)).over(w))
+    sized = sized.where(F.col("band_size") >= 2)
+    if drop_threshold is not None:
+        sized = sized.where(F.col("band_size") <= F.lit(drop_threshold))
+    cells = sized.withColumn(
+        "n_cells", F.ceil(F.col("band_size") / F.lit(salt_threshold)).cast("int")
+    ).withColumn("cell", F.pmod(F.xxhash64("doc_id"), F.col("n_cells")).cast("int"))
+    # replicate each member to every cell-pair bucket it can meet a partner
+    # in; for n_cells = 1 this is exactly one (0, 0) row per member
+    repl = cells.select(
+        "band_key",
+        "doc_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.col("n_cells") - 1)).alias("other"),
+    ).select(
+        "band_key",
+        "doc_id",
+        "cell",
+        F.least("cell", "other").alias("ci"),
+        F.greatest("cell", "other").alias("cj"),
+    )
+    return repl.groupBy("band_key", "ci", "cj").agg(
+        F.collect_list(
+            F.struct(F.col("doc_id").alias("d"), F.col("cell").alias("c"))
+        ).alias("ms")
+    )
+
+
 def candidate_pairs(
     bands: DataFrame,
     salt_threshold: int | None = 2000,
@@ -137,55 +193,19 @@ def candidate_pairs(
             f"({salt_threshold}): bands sized in between would be kept but "
             "logged as dropped"
         )
-    # Band sizes via a count-only window: ONE shuffle of the band rows by
-    # band_key (vs groupBy-sizes + join-back = two), and — crucially — no
-    # separate driver-side count() job to decide whether salting is needed:
-    # the cold/hot split is declarative, and an all-cold input leaves the
-    # hot branch empty (empty partitions, near-zero cost under AQE).  The
-    # window has no orderBy, so Spark buffers per-key groups (narrow
-    # 16-byte rows, spillable) — bounded further by the drop cap when set.
-    w = Window.partitionBy("band_key")
-    sized = bands.withColumn("band_size", F.count(F.lit(1)).over(w))
-    # singleton buckets cannot produce a pair — prune them before any join
-    # (at web scale MOST band buckets are singletons; this is the single
-    # biggest input reduction for the pairing join)
-    sized = sized.where(F.col("band_size") >= 2)
-    if drop_threshold is not None:
-        sized = sized.where(F.col("band_size") <= F.lit(drop_threshold))
-
     if salt_threshold is None:
+        w = Window.partitionBy("band_key")
+        sized = bands.withColumn("band_size", F.count(F.lit(1)).over(w))
+        sized = sized.where(F.col("band_size") >= 2)
+        if drop_threshold is not None:
+            sized = sized.where(F.col("band_size") <= F.lit(drop_threshold))
         return _pairs_from_join(sized, sized, ["band_key"]).select("src", "dst").distinct()
 
     # Unified salted group-explode — no join, no Union (see module doc).
     # n_cells = 1 for cold bands, so the dominant path is a zero-replication
     # single-bucket group-explode; hot bands fan out into bounded cell-pair
     # buckets.
-    cells = sized.withColumn(
-        "n_cells", F.ceil(F.col("band_size") / F.lit(salt_threshold)).cast("int")
-    ).withColumn("cell", F.pmod(F.xxhash64("doc_id"), F.col("n_cells")).cast("int"))
-    # replicate each member to every cell-pair bucket it can meet a partner
-    # in; for n_cells = 1 this is exactly one (0, 0) row per member
-    repl = cells.select(
-        "band_key",
-        "doc_id",
-        "cell",
-        F.explode(F.sequence(F.lit(0), F.col("n_cells") - 1)).alias("other"),
-    ).select(
-        "band_key",
-        "doc_id",
-        "cell",
-        F.least("cell", "other").alias("ci"),
-        F.greatest("cell", "other").alias("cj"),
-    )
-    # The window output is hash-partitioned by band_key, and band_key is a
-    # subset of the group keys, so this groupBy adds NO exchange.  Each
-    # bucket's member array is bounded by ~2*salt_threshold (hot bands were
-    # split into cells), so no fat-row hazard.
-    members = repl.groupBy("band_key", "ci", "cj").agg(
-        F.collect_list(F.struct(F.col("doc_id").alias("d"), F.col("cell").alias("c"))).alias(
-            "ms"
-        )
-    )
+    members = salted_members(bands, salt_threshold, drop_threshold)
     # C(g,2) in-bucket pairs via a codegen'd array expression; the inner
     # home-bucket filter makes each unordered pair surface exactly once
     # globally.  Struct fields deliberately NOT named src/dst: aliases born

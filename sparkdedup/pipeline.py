@@ -154,6 +154,27 @@ class DedupPipeline:
         c = self.config
         return verify_pairs(self.pairs(sigs), sigs, c.threshold, c.num_perm)
 
+    def _fused_edges(self, sigs: DataFrame) -> DataFrame:
+        """Broadcast-strategy short-cut: bands -> salted buckets -> fused
+        pair-expansion + Jaccard verify (operators.verify.verify_members),
+        skipping the materialized candidate-pair stage.  Bit-identical to
+        the staged path; see _run for the gate."""
+        from sparkdedup.operators.pairs import salted_members
+        from sparkdedup.operators.verify import verify_members
+
+        c = self.config
+        b, r = c.bands_rows()
+        bands = explode_bands(sigs, b, r)
+        if c.band_drop_threshold is not None:
+            # no silent caps: record what the drop knob removed (same
+            # audit row the staged path logs)
+            from sparkdedup.operators.pairs import dropped_band_stats
+
+            self.last_drop_stats = dropped_band_stats(bands, c.band_drop_threshold)
+            self.ckpt.log_event({"event": "dropped_bands", **self.last_drop_stats})
+        members = salted_members(bands, c.band_salt_threshold, c.band_drop_threshold)
+        return verify_members(members, sigs, c.threshold, c.num_perm)
+
     def verify_strategy(self, sigs: DataFrame) -> str:
         """Pick the verify-join strategy from the MEASURED corpus size
         (guide §3.1).  Only call on a materialized ``sigs`` (checkpoint
@@ -284,20 +305,39 @@ class DedupPipeline:
         # re-analyzing a leaf, not the scan->UDF tree
         sigs = self.ckpt.stage("03_signatures", lambda: self.signatures(reps), cut=True)
 
-        # pairs are always materialized at a plan cut: the window + explode
-        # + salted-union subtree otherwise re-enters every AQE replan of
-        # the verify plan (measured ~70 s of driver/duplicated-stage
-        # overhead at 50k docs when fully fused)
-        pairs = self.ckpt.stage("05_pairs", lambda: self.pairs(sigs), cut=True)
         # join strategy decided from the measured doc count (sigs is
         # materialized above, so the count is a cheap block/footer scan)
         strategy = self.verify_strategy(sigs)
-        edges = self.ckpt.stage(
-            "06_edges",
-            lambda: verify_pairs(
-                pairs, sigs, c.threshold, c.num_perm, strategy=strategy
-            ),
+        # Fused pair-generation + verify (operators.verify.verify_members):
+        # under the broadcast strategy, candidate pairs never materialize —
+        # they exist only as transient index pairs inside the Arrow kernel,
+        # and only threshold survivors reach a shuffle (measured 28-60 s ->
+        # ~9 s at sf1.0 for the two stages).  The staged path remains for
+        # every config that CONSUMES the pair table (substring stage,
+        # candidate caps, simhash pre-filter), for the no-salting join
+        # formulation, and for the above-broadcast-cap scale regime.
+        fused = (
+            strategy == "broadcast"
+            and c.substring_min_span is None
+            and c.max_candidates is None
+            and c.simhash_hamming_max is None
+            and c.band_salt_threshold is not None
         )
+        if fused:
+            pairs = None
+            edges = self.ckpt.stage("06_edges", lambda: self._fused_edges(sigs))
+        else:
+            # pairs materialized at a plan cut: the window + explode +
+            # salted subtree otherwise re-enters every AQE replan of the
+            # verify plan (measured ~70 s of driver/duplicated-stage
+            # overhead at 50k docs when fully fused into one plan)
+            pairs = self.ckpt.stage("05_pairs", lambda: self.pairs(sigs), cut=True)
+            edges = self.ckpt.stage(
+                "06_edges",
+                lambda: verify_pairs(
+                    pairs, sigs, c.threshold, c.num_perm, strategy=strategy
+                ),
+            )
 
         if c.substring_min_span is not None:
             # substring stage consumes the SAME candidate pairs the verify
