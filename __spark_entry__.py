@@ -106,13 +106,31 @@ def _dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
 
 def _dedup_simhash_candidates(spark, sf_dir) -> DataFrame:
     """SimHash near-dup pass: 4x16-bit bands, pairs sharing a band, exact
-    Hamming distance via bit_count(xor)."""
+    Hamming distance via bit_count(xor).
+
+    Round-6 shape (guide §2.4/§4): the former band self-join evaluated
+    the simhash UDF subtree TWICE (two ArrowEvalPython stages — Spark
+    does not dedupe common subtrees across join sides); banding is now a
+    groupBy collect_list + in-bucket pair explode over ONE UDF pass, and
+    the hamming <= 16 cut runs inside the explode, BEFORE the distinct —
+    the dedup shuffle carries only survivors instead of every
+    band-sharing pair.  Emitted pairs and values are identical (hamming
+    is a function of the pair; filter-then-distinct == distinct-then-
+    filter)."""
     from sparkdedup.functions.signatures import simhash_udf
 
     # spread the scan first: a single-row-group parquet file scans as ONE
     # partition and would serialize the UDF onto one worker
     d = (
         _t(spark, sf_dir, "documents")
+        # null text -> null simhash: the old join dropped those rows via
+        # null-never-equal join keys; the groupBy would keep a null
+        # band_val group, so drop them explicitly.  Filter on TEXT, not
+        # on the sh output: a filter on the UDF column makes the
+        # optimizer evaluate the UDF twice (once under the pushed
+        # filter, once for the projection — guide §4.4), and the null
+        # simhash rows are exactly the null text rows.
+        .where(F.col("text").isNotNull())
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", simhash_udf(6)(F.col("text")).alias("sh"))
     )
@@ -127,14 +145,33 @@ def _dedup_simhash_candidates(spark, sf_dir) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "sh", "b.band_idx", "b.band_val")
-    l = bands.select("band_idx", "band_val", F.col("doc_id").alias("src"), F.col("sh").alias("sh1"))
-    r = bands.select("band_idx", "band_val", F.col("doc_id").alias("dst"), F.col("sh").alias("sh2"))
+    grp = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("doc_id").alias("d"), F.col("sh").alias("s"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    # in-bucket (i < j) pairs with the hamming cut applied inside the
+    # lambda; least/greatest give the canonical (src < dst) orientation
+    pair_arr = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " filter("
+        "  transform(slice(ms, i + 2, size(ms) - i - 1),"
+        "   y -> struct(least(x.d, y.d) as lo, greatest(x.d, y.d) as hi,"
+        "        bit_count(x.s ^ y.s) as hm)),"
+        "  p -> p.hm <= 16)))"
+    )
     return (
-        l.join(r, ["band_idx", "band_val"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"))
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select(
+            F.col("p.lo").alias("src"),
+            F.col("p.hi").alias("dst"),
+            F.col("p.hm").alias("hamming"),
+        )
         .distinct()
-        .where(F.col("hamming") <= 16)
     )
 
 
@@ -142,19 +179,16 @@ def _dedup_simhash_candidates(spark, sf_dir) -> DataFrame:
 
 
 def _cosine_expr(a: str, b: str):
-    dot = F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
-        " cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    na = F.expr(
-        f"aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
-        " cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    nb = F.expr(
-        f"aggregate(transform({b}, x -> cast(x as double) * cast(x as double)),"
-        " cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    """Unrolled 64-term cosine (sparkdedup.ann.cosine_col).  Round 6:
+    replaces the aggregate()/zip_with() higher-order formulation, which
+    Spark evaluates interpreted with a per-element lambda dispatch; the
+    unrolled constant-index form runs in codegen.  Bit-identical sums:
+    both accumulate left-to-right in element order (the HOF fold's
+    leading `0.0 + x` is exact in IEEE), and every embedding in the
+    corpus is exactly 64-dimensional."""
+    from sparkdedup.ann import cosine_col
+
+    return cosine_col(a, b, 64)
 
 
 def _sim_cosine_topk(spark, sf_dir) -> DataFrame:
@@ -946,9 +980,17 @@ _q(
 )
 _q(
     "a10_degree_stats",
+    # ONE pass over the distinct pair set via explode (round 6): the
+    # former unionAll of two projections made Spark execute the whole
+    # scan -> distinct subtree TWICE (one copy per union branch — common
+    # subtrees are not deduped across branches); explode(array(src, dst))
+    # emits the same two endpoint rows per pair from a single subtree.
+    # Identical rows: degree(node) counts that node's distinct pairs
+    # either way.
     lambda s, d: (
-        lambda pairs: pairs.select(F.col("src").alias("node"))
-        .unionAll(pairs.select(F.col("dst").alias("node")))
+        lambda pairs: pairs.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )(

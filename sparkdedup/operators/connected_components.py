@@ -29,10 +29,25 @@ bit-for-bit; SURVEY.md §2.8 C2).
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MAX_ROUNDS = 50
+
+# Small-graph fast path (round 6): below this many distinct edges the
+# whole loop is replaced by ONE single-task numpy kernel (see
+# _single_task_components).  The loop's per-round cost at small edge
+# counts is almost pure scheduling — each round is a localCheckpoint job
+# plus a fingerprint job over a handful of near-empty shuffles (measured
+# 4.5-6.8 s for 3 rounds over 142k edges at sf1.0, vs ~0.5 s for the
+# kernel).  10M edges keeps the task's working set ~100s of MB and its
+# wall in single-digit seconds; above it, the O(log n) loop is the only
+# shape that scales.  Memory-only mode: durable (checkpointed) runs keep
+# the round-table loop, whose per-round tables ARE the resumability
+# contract.
+SMALL_GRAPH_MAX_EDGES = 10_000_000
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -65,6 +80,58 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 
+def _single_task_components(edges: DataFrame) -> DataFrame:
+    """Exact connected components of a SMALL edge set in one executor
+    task: min-label hooking + pointer doubling (Shiloach/Vishkin-style),
+    fully vectorized in numpy.  Labels converge to the component MINIMUM
+    node id — the same canonical labeling the star loop produces: p only
+    ever decreases toward member ids, and at the fixpoint no edge joins
+    two labels, so each component carries exactly one label, which its
+    minimum member must hold.  Emits star edges (src=node, dst=root) for
+    non-root nodes only, matching the loop's output contract.
+
+    This is an executor task, not a driver collect: the gated edge list
+    is coalesced into one partition and the kernel runs where the data
+    is.  Deterministic for retries (pure function of the edge set)."""
+
+    def gen(batches):
+        srcs, dsts = [], []
+        for b in batches:
+            srcs.append(b.column("src").to_numpy())
+            dsts.append(b.column("dst").to_numpy())
+        if not srcs:
+            return
+        u = np.concatenate(srcs)
+        v = np.concatenate(dsts)
+        ids = np.unique(np.concatenate([u, v]))
+        ui = np.searchsorted(ids, u)
+        vi = np.searchsorted(ids, v)
+        p = np.arange(len(ids), dtype=np.int64)
+        while True:
+            ru, rv = p[ui], p[vi]
+            hi = np.maximum(ru, rv)
+            lo = np.minimum(ru, rv)
+            mask = hi != lo
+            if not mask.any():
+                break
+            # p is flat here (roots point to themselves), so hi/lo are
+            # roots; hook every higher root to the smallest root seen
+            np.minimum.at(p, hi[mask], lo[mask])
+            while True:
+                pp = p[p]
+                if np.array_equal(pp, p):
+                    break
+                p = pp
+        nonroot = np.nonzero(p != np.arange(len(ids)))[0]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids[nonroot]), pa.array(ids[p[nonroot]])], ["src", "dst"]
+        )
+
+    return edges.select("src", "dst").coalesce(1).mapInArrow(
+        gen, "src long, dst long"
+    )
+
+
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     # bit_xor: order-insensitive, overflow-free (ANSI-safe) set fingerprint;
     # edges are distinct so xor cancellation of duplicates cannot occur.
@@ -87,6 +154,7 @@ def connected_components(
     max_rounds: int = MAX_ROUNDS,
     ckpt=None,
     stage_prefix: str = "cc",
+    small_graph_max_edges: int | None = SMALL_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """edges(src, dst) -> star edges (doc_id, root) where root is the
     component min; component-min nodes themselves are NOT included (they
@@ -140,6 +208,18 @@ def connected_components(
         f"{stage_prefix}_round_000",
     )
     prev = _fingerprint(e)
+    if (
+        not durable
+        and small_graph_max_edges is not None
+        and prev[0] <= small_graph_max_edges
+    ):
+        # small graph, memory mode: one single-task kernel instead of
+        # O(log n) near-empty-shuffle rounds (see SMALL_GRAPH_MAX_EDGES)
+        star = _single_task_components(e)
+        return rebind(
+            star.select(F.col("src").alias("doc_id"), F.col("dst").alias("root")),
+            spark,
+        )
     # Size the loop's shuffles to the measured edge count: each round is a
     # fixed handful of small shuffles, and running them at the session's
     # full shuffle parallelism means near-empty reducers — pure scheduler

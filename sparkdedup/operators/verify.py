@@ -69,7 +69,15 @@ def _broadcast_signatures(
     )
     order = np.argsort(ids)
     ids = np.ascontiguousarray(ids[order])
+    # MinHash signature values are 32-bit (masked with 2^32-1 in
+    # sparkdedup.minhash); storing the broadcast matrix as uint32 halves
+    # both the per-worker footprint and the kernel's memory traffic, and
+    # the narrowing is injective on [0, 2^32) so per-position equality
+    # counts are unchanged bit-for-bit.  Range-checked so a caller with
+    # genuinely 64-bit signature values keeps exact semantics.
     mat = np.ascontiguousarray(mat[order])
+    if mat.size and 0 <= mat.min() and mat.max() <= 0xFFFFFFFF:
+        mat = mat.astype(np.uint32)
     return signatures.sparkSession.sparkContext.broadcast((ids, mat))
 
 

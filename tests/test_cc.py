@@ -133,6 +133,37 @@ def test_cc_durable_rounds_resume_after_kill(spark, tmp_path, monkeypatch):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
+def test_small_graph_kernel_matches_star_loop(spark):
+    """Round-6 fast path: the single-task numpy kernel (default for small
+    memory-mode graphs) must produce the same star edges as the
+    large-star/small-star loop (forced via small_graph_max_edges=None) on
+    adversarial shapes — long chain (worst diameter), random graphs,
+    cliques, and the empty set."""
+    random_graphs = []
+    rng = random.Random(13)
+    for _ in range(3):
+        n = 80
+        es = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        random_graphs.append([(a, b) for a, b in es if a != b])
+    shapes = [
+        [(i, i + 1) for i in range(63)],                       # chain
+        [(0, i) for i in range(1, 9)],                         # star
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],   # clique
+        [],                                                    # empty
+        *random_graphs,
+    ]
+    for edge_list in shapes:
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in edge_list] or [(0, 0)], "src long, dst long"
+        )
+        if not edge_list:
+            edges = edges.limit(0)
+        fast = connected_components(edges)
+        loop = connected_components(edges, small_graph_max_edges=None)
+        to_set = lambda df: {(r["doc_id"], r["root"]) for r in df.collect()}
+        assert to_set(fast) == to_set(loop), edge_list[:5]
+
+
 def test_cc_durable_labels_match_memory_mode(spark, tmp_path):
     """Durable-rounds mode is a physical choice only: labels must be
     identical to the localCheckpoint mode on a mixed graph."""
