@@ -108,31 +108,29 @@ def _dedup_simhash_candidates(spark, sf_dir) -> DataFrame:
     """SimHash near-dup pass: 4x16-bit bands, pairs sharing a band, exact
     Hamming distance via bit_count(xor).
 
-    Round-6 shape (guide §2.4/§4): the former band self-join evaluated
+    Round-6 shape (guide §2.4/§4): the round-5 band self-join evaluated
     the simhash UDF subtree TWICE (two ArrowEvalPython stages — Spark
-    does not dedupe common subtrees across join sides); banding is now a
-    groupBy collect_list + in-bucket pair explode over ONE UDF pass, and
-    the hamming <= 16 cut runs inside the explode, BEFORE the distinct —
-    the dedup shuffle carries only survivors instead of every
-    band-sharing pair.  Emitted pairs and values are identical (hamming
-    is a function of the pair; filter-then-distinct == distinct-then-
-    filter)."""
+    does not dedupe common subtrees across join sides) and deduped every
+    band-sharing pair BEFORE applying the hamming cut.  The UDF output
+    is now materialized once (an eager localCheckpoint inside the timed
+    query — 50k rows x 9 bytes), both join sides read that leaf, and the
+    hamming <= 16 filter runs before the distinct so the dedup shuffle
+    carries survivors only.  Emitted pairs and values are identical
+    (hamming is a function of the pair; filter-then-distinct ==
+    distinct-then-filter).  Measured at sf1.0: 12.6 s (r5) -> ~2.6 s
+    warm (UDF ~1 s + join/filter/distinct ~1.6 s); a grouped
+    collect_list + in-bucket-explode variant was tried and rejected
+    (ObjectHashAggregate + interpreted per-element lambdas made it ~7 s)."""
     from sparkdedup.functions.signatures import simhash_udf
 
     # spread the scan first: a single-row-group parquet file scans as ONE
     # partition and would serialize the UDF onto one worker
     d = (
         _t(spark, sf_dir, "documents")
-        # null text -> null simhash: the old join dropped those rows via
-        # null-never-equal join keys; the groupBy would keep a null
-        # band_val group, so drop them explicitly.  Filter on TEXT, not
-        # on the sh output: a filter on the UDF column makes the
-        # optimizer evaluate the UDF twice (once under the pushed
-        # filter, once for the projection — guide §4.4), and the null
-        # simhash rows are exactly the null text rows.
         .where(F.col("text").isNotNull())
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", simhash_udf(6)(F.col("text")).alias("sh"))
+        .localCheckpoint(eager=True)
     )
     bands = d.select(
         "doc_id",
@@ -145,32 +143,13 @@ def _dedup_simhash_candidates(spark, sf_dir) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "sh", "b.band_idx", "b.band_val")
-    grp = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(
-            F.collect_list(
-                F.struct(F.col("doc_id").alias("d"), F.col("sh").alias("s"))
-            ).alias("ms")
-        )
-        .where(F.size("ms") >= 2)
-    )
-    # in-bucket (i < j) pairs with the hamming cut applied inside the
-    # lambda; least/greatest give the canonical (src < dst) orientation
-    pair_arr = F.expr(
-        "flatten(transform(ms, (x, i) ->"
-        " filter("
-        "  transform(slice(ms, i + 2, size(ms) - i - 1),"
-        "   y -> struct(least(x.d, y.d) as lo, greatest(x.d, y.d) as hi,"
-        "        bit_count(x.s ^ y.s) as hm)),"
-        "  p -> p.hm <= 16)))"
-    )
+    l = bands.select("band_idx", "band_val", F.col("doc_id").alias("src"), F.col("sh").alias("sh1"))
+    r = bands.select("band_idx", "band_val", F.col("doc_id").alias("dst"), F.col("sh").alias("sh2"))
     return (
-        grp.select(F.explode(pair_arr).alias("p"))
-        .select(
-            F.col("p.lo").alias("src"),
-            F.col("p.hi").alias("dst"),
-            F.col("p.hm").alias("hamming"),
-        )
+        l.join(r, ["band_idx", "band_val"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"))
+        .where(F.col("hamming") <= 16)
         .distinct()
     )
 

@@ -266,8 +266,15 @@ class IncrementalDedup:
             new_sigs if old_sigs is None else old_sigs.unionByName(new_sigs)
         )
         had_prior_edges = self._table("edges") is not None
+        # size-adaptive verify strategy (guide §3.1), same gate as the
+        # batch pipeline: all_sigs is materialized state (delta parquet +
+        # the batch localCheckpoint), so the sizing count is cheap
         new_edges = verify_pairs(
-            pairs, all_sigs, c.threshold, c.num_perm
+            pairs,
+            all_sigs,
+            c.threshold,
+            c.num_perm,
+            strategy=self.pipe.verify_strategy(all_sigs),
         ).localCheckpoint(eager=True)
 
         # durable exactly-once commit: three idempotent delta writes, then

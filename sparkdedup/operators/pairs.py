@@ -86,7 +86,7 @@ def cap_pairs_per_doc(pairs: DataFrame, max_candidates: int) -> DataFrame:
     processed_pairs sharing, where a pair examined from one side never
     costs the other side's budget).  Order-free, monotone, and testable
     against an independent capped oracle (tests/oracle.py
-    lsh_pairs_capped_ref).
+    cap_pairs_ref).
 
     OFF by default (uncapped is the parity mode for the reference's own
     defaults-driven tests AND the no-recall-loss scale stance — SURVEY

@@ -32,15 +32,21 @@ def contingency(assign: DataFrame, truth: DataFrame, key: str = "doc_id") -> np.
     explodes — that collect would OOM the driver, and at that scale these
     exact metrics need a sampled or sketched estimator, not this path."""
     joined = assign.join(truth, key).groupBy("group_id", "cluster_id").count()
-    n_cells = joined.count()
-    if n_cells > MAX_CONTINGENCY_CELLS:
-        raise ValueError(
-            f"contingency table has {n_cells} nonzero cells "
-            f"(> {MAX_CONTINGENCY_CELLS}): quality metrics are a driver-side "
-            "diagnostic for labeled evaluation corpora — run them on a sample, "
-            "not the full corpus"
-        )
-    rows = joined.collect()
+    # persist across the guard count + collect: without it the join +
+    # aggregation recomputed twice per call (ADVICE r05)
+    joined = joined.persist()
+    try:
+        n_cells = joined.count()
+        if n_cells > MAX_CONTINGENCY_CELLS:
+            raise ValueError(
+                f"contingency table has {n_cells} nonzero cells "
+                f"(> {MAX_CONTINGENCY_CELLS}): quality metrics are a driver-side "
+                "diagnostic for labeled evaluation corpora — run them on a "
+                "sample, not the full corpus"
+            )
+        rows = joined.collect()
+    finally:
+        joined.unpersist()
     gids = sorted({r["group_id"] for r in rows})
     cids = sorted({r["cluster_id"] for r in rows})
     gi = {g: i for i, g in enumerate(gids)}

@@ -24,13 +24,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 # runtime confs a private execution session mirrors from its parent: these
 # are the knobs build_spark tunes and users commonly set at runtime;
-# newSession() only inherits builder-time (SparkConf-level) values
+# newSession() only inherits builder-time (SparkConf-level) values.
+# The second group (ADVICE r05) carries the SEMANTIC confs whose silent
+# reversion to builder-time defaults could change results for callers who
+# set them at runtime — timezone-dependent expressions, ANSI error
+# behavior, identifier case sensitivity, legacy datetime parsing.
 MIRRORED_CONFS = (
     "spark.sql.shuffle.partitions",
     "spark.sql.adaptive.enabled",
     "spark.sql.adaptive.skewJoin.enabled",
     "spark.sql.execution.arrow.pyspark.enabled",
     "spark.sql.execution.arrow.maxRecordsPerBatch",
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.caseSensitive",
+    "spark.sql.legacy.timeParserPolicy",
 )
 
 
