@@ -237,6 +237,15 @@ class _BitReader:
             raise ValueError("corrupt JPEG: entropy data exhausted at marker")
         if self.pos >= len(self.data):
             raise ValueError("corrupt JPEG: truncated entropy-coded data")
+        # optional 0xFF fill bytes before a marker (T.81 B.1.1.2): legal
+        # padding some encoders emit; consume the run so the byte after
+        # it is classified (ADVICE r05)
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
         b = self.data[self.pos]
         if b == 0xFF:
             if self.pos + 1 >= len(self.data):
@@ -269,6 +278,13 @@ class _BitReader:
         here (used for RSTn handling)."""
         if self.marker is not None:
             return self.marker
+        # skip optional 0xFF fill before the marker (T.81 B.1.1.2)
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
         if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
             nxt = self.data[self.pos + 1]
             if nxt != 0x00:
@@ -477,6 +493,9 @@ def _frame_end(data: bytes, start: int) -> int:
             raise ValueError("MJPEG: truncated frame (no EOI)")
         if data[pos] != 0xFF:
             raise ValueError(f"MJPEG: expected marker at offset {pos}")
+        # optional 0xFF fill before the marker code (T.81 B.1.1.2)
+        while pos + 2 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI with no scan (degenerate but well-formed)
             return pos + 2
@@ -492,6 +511,9 @@ def _frame_end(data: bytes, start: int) -> int:
                 nxt = data[pos + 1]
                 if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffed / restart
                     pos += 2
+                    continue
+                if nxt == 0xFF:  # fill byte before a marker (B.1.1.2)
+                    pos += 1
                     continue
                 if nxt == 0xD9:
                     return pos + 2
@@ -538,6 +560,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # skip optional 0xFF fill bytes before the marker code (T.81
+        # B.1.1.2 — emitted by some real encoders; ADVICE r05)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker in (0xC2, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             # any non-baseline SOF (progressive, extended, arithmetic...)

@@ -392,3 +392,41 @@ def test_split_mjpeg_rejects_garbage():
         split_mjpeg(f[:-4])
     with pytest.raises(ValueError, match="empty"):
         split_mjpeg(b"")
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code.  Some real encoders emit them; the decoder and the MJPEG
+    splitter must parse through them and produce the same pixels as the
+    fill-free stream (ADVICE r05)."""
+    import numpy as np
+
+    from sparkdedup.functions.jpeg import decode_jpeg, encode_jpeg, split_mjpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    data = encode_jpeg(img, quality=50)
+    want = decode_jpeg(data)
+
+    # inject fill runs before every marker except the one following a
+    # stuffed 0xFF00 data byte (scan the stream the same way a decoder
+    # does: 0xFF00 is data, 0xFF D0-D7 / DA / D9 / others are markers)
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        # i > 0: the stream itself must still open with SOI
+        if i and data[i] == 0xFF and i + 1 < len(data) and data[i + 1] != 0x00:
+            out += b"\xff\xff\xff"  # three fill bytes, then the real marker
+        out.append(data[i])
+        i += 1
+    padded = bytes(out)
+    assert len(padded) > len(data)
+    np.testing.assert_array_equal(decode_jpeg(padded), want)
+
+    # the MJPEG splitter walks the same markers: a 2-frame stream of
+    # padded JPEGs must split at the right boundaries and decode equal
+    f2 = encode_jpeg((img // 2).astype(np.uint8), quality=50)
+    frames = split_mjpeg(padded + f2)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(decode_jpeg(frames[0]), want)
+    np.testing.assert_array_equal(decode_jpeg(frames[1]), decode_jpeg(f2))
