@@ -374,7 +374,12 @@ class DedupPipeline:
 
         doc_ids = clean.select("doc_id")
         assignments = self.ckpt.stage(
-            "08_assignments", lambda: self.cluster(doc_ids, all_edges)
+            # cut=True: with_certainty consumes assignments in TWO join
+            # branches (per-doc avg-sim attach and the cluster-size
+            # groupBy), and Spark does not dedupe common subtrees across
+            # branches — uncut, the CC result and the label join executed
+            # twice per downstream action (round 6)
+            "08_assignments", lambda: self.cluster(doc_ids, all_edges), cut=True
         )
         final = self.ckpt.stage(
             "09_final", lambda: with_certainty(assignments, all_edges)
