@@ -71,21 +71,31 @@ def main() -> None:
             "02_signatures",
             lambda: pipe.signatures(clean).localCheckpoint(eager=True),
         )
-        # 3. band explode + salted pair generation
-        pairs = timed(
-            "03_pairs", lambda: pipe.pairs(sigs).localCheckpoint(eager=True)
-        )
-        # 4. signature-jaccard verify
-        from sparkdedup.operators.verify import verify_pairs
-
+        # 3+4. candidate generation + verify, measured along the path the
+        # pipeline actually takes (round 6): fused kernel under the
+        # broadcast strategy, staged pairs -> verify_pairs otherwise
         strategy = pipe.verify_strategy(sigs)
-        edges = timed(
-            "04_verify",
-            lambda: verify_pairs(
-                pairs, sigs, pipe.config.threshold, pipe.config.num_perm,
-                strategy=strategy,
-            ).localCheckpoint(eager=True),
-        )
+        if strategy == "broadcast":
+            t["03_pairs"] = 0.0  # no materialized pair stage on this path
+            edges = timed(
+                "04_fused_pairs_verify",
+                lambda: pipe._fused_edges(sigs).localCheckpoint(eager=True),
+            )
+            counts_pairs = None
+        else:
+            from sparkdedup.operators.verify import verify_pairs
+
+            pairs = timed(
+                "03_pairs", lambda: pipe.pairs(sigs).localCheckpoint(eager=True)
+            )
+            counts_pairs = pairs.count()
+            edges = timed(
+                "04_verify",
+                lambda: verify_pairs(
+                    pairs, sigs, pipe.config.threshold, pipe.config.num_perm,
+                    strategy=strategy,
+                ).localCheckpoint(eager=True),
+            )
         # 5. connected components loop
         from sparkdedup.operators.connected_components import (
             assignments_from_components,
@@ -124,7 +134,7 @@ def main() -> None:
 
         counts = {
             "clean": clean.count(),
-            "pairs": pairs.count(),
+            "pairs": counts_pairs,
             "edges": edges.count(),
         }
         print(
